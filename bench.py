@@ -1,0 +1,92 @@
+"""Benchmark: training-step throughput (rays/sec/chip, forward+backward).
+
+Measures the full production train step — on-device batch sampling from the
+HBM ray pool, hierarchical-capable volume render, backward, Adam update — on
+the flagship config (8x256 NeRF-W MLP, 64 coarse samples, 1024-ray batch:
+reference config.py defaults, the same workload as the reference's hot loop
+at src/train.py:54-92).
+
+Baseline: the reference publishes no benchmark numbers (SURVEY.md §6).  The
+only quantitative statement it makes is that 30,000 iterations of this
+workload take "typically several hours" (README.md:147).  Reading that as 3
+hours on the reference's CUDA GPU gives 30000*1024/10800 ≈ 2,844 rays/s —
+recorded here as the baseline the ratio is computed against.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 2844.0  # see module docstring
+
+
+def build_pool(n_images: int, height: int, width: int):
+    """Random image pool — content doesn't affect throughput, geometry does."""
+    from danerf_tpu.data.dataset import RayDataset
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (n_images, height, width, 3), dtype=np.uint8)
+    alphas = np.full((n_images, height, width), 255, np.uint8)
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (n_images, 1, 1))
+    c2ws[:, 2, 3] = 4.0
+    return RayDataset(images=images, alphas=alphas, c2ws=c2ws,
+                      focal=0.5 * width / np.tan(0.5 * 0.6911),
+                      near=2.0, far=6.0)
+
+
+def bench_train_step(cfg, n_images=20, height=800, width=800,
+                     warmup=10, iters=50):
+    import jax
+
+    from danerf_tpu.train import create_train_state, make_train_step
+
+    ds = build_pool(n_images, height, width)
+    pool = ds.device_arrays()
+    state = create_train_state(jax.random.key(0), cfg, n_images)
+    step = make_train_step(cfg, height, width, ds.focal)
+
+    for _ in range(warmup):
+        state, metrics = step(state, pool)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, pool)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return cfg.batch_size * iters / dt
+
+
+def main():
+    from danerf_tpu.config import NeRFConfig
+
+    # Flagship config: reference defaults (config.py:10-21), coarse-only like
+    # the reference's live train path (its fine pass is stubbed, SURVEY.md §1).
+    cfg = NeRFConfig(num_importance=0, use_bf16=True, use_pallas=False)
+    rays_per_sec = bench_train_step(cfg)
+
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+    # Secondary diagnostics on stderr (not part of the driver contract).
+    try:
+        cfg_h = NeRFConfig(use_bf16=True)  # 64+64 hierarchical
+        h = bench_train_step(cfg_h, warmup=5, iters=20)
+        print(f"[bench] hierarchical 64+64: {h:,.0f} rays/s", file=sys.stderr)
+    except Exception as e:  # diagnostics must never fail the bench
+        print(f"[bench] hierarchical bench skipped: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

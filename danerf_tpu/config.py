@@ -1,0 +1,100 @@
+"""Frozen configuration for the TPU NeRF-W framework.
+
+Mirrors the user-visible knob set of the reference's static ``Config`` class
+(/root/reference/config.py:3-36) plus the CLI flags scattered across its entry
+points (/root/reference/run.py:15-61), unified as one immutable dataclass with
+override helpers.  Immutability matters on TPU: configs are closed over by
+``jax.jit``-traced functions, so they must be hashable and static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    # --- dataset (reference config.py:5-7) ---
+    dataset_type: str = "nerf_synthetic"
+    dataset_path: str = "data/nerf_synthetic"
+    scene: str = "lego"
+
+    # --- model (reference config.py:10-14) ---
+    hidden_dim: int = 256
+    num_layers: int = 8
+    skip_connect_layers: Tuple[int, ...] = (4,)
+    num_samples: int = 64        # coarse samples per ray
+    num_importance: int = 64     # fine (importance) samples per ray
+
+    # --- appearance embedding (reference config.py:17-18) ---
+    use_appearance: bool = True
+    appearance_dim: int = 32
+
+    # --- animated (time-conditioned) variant (reference src/models.py:165-265;
+    #     the reference declares it but its config lacks time_enc_levels) ---
+    use_time: bool = False
+    time_enc_levels: int = 6
+
+    # --- training (reference config.py:21-25) ---
+    batch_size: int = 1024       # rays per step (global across the mesh)
+    learning_rate: float = 5e-4
+    num_iterations: int = 30000
+    scheduler_step_size: int = 10000
+    scheduler_gamma: float = 0.5
+    warmup_batch_size: int = 64  # reference src/train.py:26,56-57
+    warmup_iters: int = 5
+
+    # --- scene bounds (reference config.py:28-29) ---
+    near: float = 2.0
+    far: float = 6.0
+
+    # --- loss (new): auxiliary MSE on the coarse pass when the hierarchical
+    # fine pass is active.  The reference's loss covers only the final output
+    # (src/train.py:87) but its fine pass never ran; standard NeRF supervises
+    # both, which stabilizes the importance distribution. ---
+    coarse_loss_weight: float = 1.0
+
+    # --- encodings (reference config.py:32-33) ---
+    pos_enc_levels: int = 10
+    dir_enc_levels: int = 4
+
+    # --- TPU-specific (new; no analogue in the reference) ---
+    # bf16 matmuls on the MXU with fp32 params/accumulation.
+    use_bf16: bool = True
+    # Fused Pallas ray-march kernel instead of the XLA-fused jnp path.
+    use_pallas: bool = False
+    # White-background alpha compositing of training targets.
+    white_background: bool = False
+    # Data-parallel mesh axis sizes (data, model). model=1 => pure DP.
+    mesh_data: int = 1
+    mesh_model: int = 1
+
+    # --- rendering (reference run.py:89-100) ---
+    render_chunk: int = 65536    # rays per device call when rendering frames
+
+    # --- derived dims ---
+    @property
+    def pos_enc_dim(self) -> int:
+        # gamma(x) = [x, sin(2^i x), cos(2^i x)]  (reference src/models.py:49-54)
+        return 3 * (1 + 2 * self.pos_enc_levels)
+
+    @property
+    def dir_enc_dim(self) -> int:
+        return 3 * (1 + 2 * self.dir_enc_levels)
+
+    @property
+    def time_enc_dim(self) -> int:
+        return 1 * (1 + 2 * self.time_enc_levels)
+
+    def replace(self, **kw) -> "NeRFConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Quality presets for frame rendering (reference run.py:89-100).
+RENDER_PRESETS = {
+    # name: (samples_scale, chunk, perturb, use_importance)
+    "preview": dict(samples_scale=0.5, chunk=8192, perturb=False, importance=False),
+    "medium": dict(samples_scale=1.0, chunk=4096, perturb=True, importance=True),
+    "high": dict(samples_scale=1.0, chunk=2048, perturb=True, importance=True),
+}

@@ -1,0 +1,106 @@
+"""Procedural test scene: an analytic emission-absorption field rendered into a
+pose-consistent multi-view dataset.
+
+Neither this repo nor the reference ships the Blender scenes (the reference's
+data directory holds only a README — /root/reference/data/nerf_synthetic).  For
+tests, integration training, and benchmarks we therefore synthesize a scene
+whose ground truth is *exactly* computable: a handful of Gaussian density blobs
+with constant colors, volume-rendered with the same compositing math the model
+is trained under (src/render.py:56-80 semantics).  Because the images are
+genuinely 3D-consistent, a NeRF trained on them must drive PSNR up — the
+integration-test bar from SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from danerf_tpu.data.dataset import RayDataset
+
+
+def _blob_field(seed: int):
+    """Return (centers, radii, densities, colors) for a deterministic scene."""
+    rng = np.random.default_rng(seed)
+    k = 6
+    centers = rng.uniform(-0.8, 0.8, size=(k, 3))
+    radii = rng.uniform(0.25, 0.5, size=(k,))
+    dens = rng.uniform(8.0, 20.0, size=(k,))
+    colors = rng.uniform(0.1, 1.0, size=(k, 3))
+    return centers, radii, dens, colors
+
+
+def field_sigma_rgb(pts: np.ndarray, seed: int = 0):
+    """Analytic density + color at points (..., 3)."""
+    centers, radii, dens, colors = _blob_field(seed)
+    d2 = np.sum((pts[..., None, :] - centers) ** 2, axis=-1)        # (..., k)
+    w = dens * np.exp(-d2 / (2 * radii ** 2))                        # (..., k)
+    sigma = np.sum(w, axis=-1)
+    rgb = np.sum(w[..., None] * colors, axis=-2) / (sigma[..., None] + 1e-8)
+    return sigma, np.clip(rgb, 0.0, 1.0)
+
+
+def _render_gt(c2w: np.ndarray, H: int, W: int, focal: float,
+               near: float, far: float, n_samples: int, seed: int):
+    """Ground-truth render of the analytic field (reference compositing math)."""
+    i, j = np.meshgrid(np.arange(H, dtype=np.float64),
+                       np.arange(W, dtype=np.float64), indexing="ij")
+    dirs = np.stack([(j - W * 0.5) / focal, -(i - H * 0.5) / focal,
+                     -np.ones_like(i)], axis=-1)
+    dirs = np.sum(dirs[..., None, :] * c2w[:3, :3], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(c2w[:3, 3], dirs.shape)
+
+    z = np.linspace(near, far, n_samples)
+    pts = origins[..., None, :] + dirs[..., None, :] * z[:, None]    # (H,W,S,3)
+    sigma, rgb = field_sigma_rgb(pts, seed)
+
+    dists = np.diff(z)
+    dists = np.concatenate([dists, [1e-3]])
+    alpha = 1.0 - np.exp(-sigma * dists)
+    trans = np.cumprod(
+        np.concatenate([np.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1),
+        axis=-1)[..., :-1]
+    weights = alpha * trans
+    rgb_map = np.sum(weights[..., None] * rgb, axis=-2)
+    acc = np.sum(weights, axis=-1)
+    return rgb_map, acc
+
+
+def make_synthetic_scene(split: str = "train", n_images: int | None = None,
+                         height: int = 100, width: int = 100,
+                         near: float = 2.0, far: float = 6.0,
+                         n_samples: int = 192, seed: int = 0) -> RayDataset:
+    """Build a RayDataset of ground-truth renders from poses on a sphere.
+
+    Pose layout mirrors the reference's circular camera paths at radius 4
+    (run.py:119-147) with per-split deterministic jitter so train/val/test see
+    distinct viewpoints.
+    """
+    from danerf_tpu.ops.rays import look_at_c2w
+
+    if n_images is None:
+        n_images = {"train": 20, "val": 4, "test": 8}.get(split, 8)
+
+    split_seed = {"train": 1, "val": 2, "test": 3}.get(split, 4)
+    rng = np.random.default_rng(seed * 100 + split_seed)
+
+    focal = 0.5 * width / np.tan(0.5 * 0.6911)  # blender-like ~0.69 rad FOV
+    radius = 4.0
+
+    images, alphas, c2ws = [], [], []
+    for k in range(n_images):
+        theta = 2 * np.pi * k / n_images + rng.uniform(0, 0.3)
+        phi = rng.uniform(-0.35, 0.35)
+        pos = np.array([radius * np.cos(phi) * np.sin(theta),
+                        radius * np.sin(phi),
+                        radius * np.cos(phi) * np.cos(theta)])
+        c2w = look_at_c2w(pos, np.zeros(3), np.array([0.0, 1.0, 0.0]))
+        rgb, acc = _render_gt(c2w.astype(np.float64), height, width, focal,
+                              near, far, n_samples, seed)
+        images.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        alphas.append((np.clip(acc, 0, 1) * 255).astype(np.uint8))
+        c2ws.append(c2w)
+
+    return RayDataset(images=np.stack(images), alphas=np.stack(alphas),
+                      c2ws=np.stack(c2ws), focal=float(focal),
+                      near=near, far=far, split=split)

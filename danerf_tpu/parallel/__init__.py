@@ -1,0 +1,17 @@
+from danerf_tpu.parallel.mesh import (
+    make_mesh,
+    param_pspecs,
+    replicate_pool,
+    shard_train_state,
+    make_sharded_train_step,
+    initialize_distributed,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_pspecs",
+    "replicate_pool",
+    "shard_train_state",
+    "make_sharded_train_step",
+    "initialize_distributed",
+]

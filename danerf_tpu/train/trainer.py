@@ -1,0 +1,179 @@
+"""Training: one fused, donated, jitted step.
+
+Reference semantics (/root/reference/src/train.py:13-207): Adam over model
+params + appearance embeddings, lr 5e-4 halved every 10k steps (StepLR), MSE
+loss over a 1024-ray batch (64 for the first 5 warmup steps), PSNR logging,
+checkpoints every 1000 iterations.
+
+TPU-native differences:
+- the batch is SAMPLED INSIDE the jitted step from the HBM-resident ray pool
+  (no per-step host->device copies; the reference crosses the device boundary
+  twice per iteration — SURVEY.md §3.1),
+- ``donate_argnums`` on the train state so Adam's moments update in place,
+- the LR schedule is an optax ``exponential_decay(staircase=True)``, which is
+  exactly StepLR's ``lr * gamma^floor(step/step_size)``,
+- checkpoints carry the FULL state (params, opt state, step, PRNG key) and
+  training can actually resume (the reference cannot — SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from danerf_tpu.config import NeRFConfig
+from danerf_tpu.data.dataset import RayDataset, sample_ray_batch
+from danerf_tpu.models.nerf import init_appearance_embeddings, init_nerf_params
+from danerf_tpu.render.renderer import render_rays
+from danerf_tpu.train.metrics import MetricsLogger, psnr
+
+
+class TrainState(NamedTuple):
+    params: Any          # {"model": ..., optional "appearance": (N, app_dim)}
+    opt_state: Any
+    step: jnp.ndarray    # int32 scalar
+    key: jnp.ndarray     # PRNG key
+
+
+def lr_schedule(cfg: NeRFConfig):
+    """StepLR equivalent (reference config.py:22-25, src/train.py:42-44,95-96)."""
+    return optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=cfg.scheduler_step_size,
+        decay_rate=cfg.scheduler_gamma,
+        staircase=True,
+    )
+
+
+def make_optimizer(cfg: NeRFConfig):
+    return optax.adam(lr_schedule(cfg))
+
+
+def create_train_state(key, cfg: NeRFConfig, n_images: int) -> TrainState:
+    k_model, k_app, k_train = jax.random.split(key, 3)
+    params = {"model": init_nerf_params(k_model, cfg)}
+    if cfg.use_appearance:
+        params["appearance"] = init_appearance_embeddings(k_app, n_images, cfg.appearance_dim)
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.asarray(0, jnp.int32), key=k_train)
+
+
+def loss_fn(params, cfg: NeRFConfig, key, batch):
+    """MSE on rendered rgb vs target (reference src/train.py:87), plus the
+    coarse auxiliary term when the hierarchical pass is active."""
+    emb = None
+    if cfg.use_appearance:
+        emb = params["appearance"][batch["img_idx"]]
+    out = render_rays(params["model"], cfg, key, batch["rays_o"], batch["rays_d"],
+                      appearance_embedding=emb, perturb=True)
+    loss = jnp.mean((out["rgb"] - batch["rgb"]) ** 2)
+    aux = {"mse": loss}
+    if "coarse_rgb" in out and cfg.coarse_loss_weight > 0:
+        coarse = jnp.mean((out["coarse_rgb"] - batch["rgb"]) ** 2)
+        loss = loss + cfg.coarse_loss_weight * coarse
+        aux["coarse_mse"] = coarse
+    return loss, aux
+
+
+def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
+                    batch_size: Optional[int] = None):
+    """Build the jitted train step.
+
+    Returned fn: (state, pool) -> (state, metrics); ``pool`` is the dict from
+    RayDataset.device_arrays.  The state is donated.
+    """
+    opt = make_optimizer(cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, pool):
+        k_batch, k_render, k_next = jax.random.split(state.key, 3)
+        batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
+                                 batch_size=batch_size)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, cfg, k_render, batch)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
+        return TrainState(params, opt_state, state.step + 1, k_next), metrics
+
+    return train_step
+
+
+def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
+          resume: bool = False, log_path: Optional[str] = None,
+          checkpoint_every: int = 1000, eval_every: int = 0,
+          num_iterations: Optional[int] = None, seed: int = 0,
+          mesh=None, progress: bool = True):
+    """Full training loop (reference ``train_nerf``, src/train.py:13-207).
+
+    Returns (state, logger).  With ``mesh``, state/pool are sharded via
+    danerf_tpu.parallel (params replicated, batch sharded over 'data').
+    """
+    import os
+
+    from danerf_tpu.utils.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                             save_checkpoint)
+
+    os.makedirs(save_dir, exist_ok=True)
+    n_iters = num_iterations if num_iterations is not None else cfg.num_iterations
+
+    state = create_train_state(jax.random.key(seed), cfg, dataset.n_images)
+    start_step = 0
+    if resume:
+        path = latest_checkpoint(save_dir)
+        if path is not None:
+            restored, meta = restore_checkpoint(path, state)
+            state = jax.tree_util.tree_map(jnp.asarray, restored)
+            state = TrainState(*state)
+            start_step = int(state.step)
+
+    if mesh is not None:
+        from danerf_tpu.parallel.mesh import (make_sharded_train_step,
+                                              replicate_pool, shard_train_state)
+        tp = cfg.mesh_model > 1
+        pool = replicate_pool(dataset.device_arrays(cfg.white_background), mesh)
+        state = shard_train_state(state, mesh, tensor_parallel=tp)
+        step_full = make_sharded_train_step(cfg, mesh, dataset.height,
+                                            dataset.width, dataset.focal,
+                                            tensor_parallel=tp)
+        step_warm = make_sharded_train_step(cfg, mesh, dataset.height,
+                                            dataset.width, dataset.focal,
+                                            batch_size=min(cfg.warmup_batch_size, cfg.batch_size),
+                                            tensor_parallel=tp)
+    else:
+        pool = dataset.device_arrays(cfg.white_background)
+        step_full = make_train_step(cfg, dataset.height, dataset.width, dataset.focal)
+        step_warm = make_train_step(cfg, dataset.height, dataset.width, dataset.focal,
+                                    batch_size=min(cfg.warmup_batch_size, cfg.batch_size))
+
+    logger = MetricsLogger(log_path)
+    t0 = time.time()
+    metrics = {}
+    for i in range(start_step + 1, n_iters + 1):
+        # Reference warms up with batch 64 for the first 5 iterations
+        # (src/train.py:26,56-58).
+        fn = step_warm if i <= cfg.warmup_iters else step_full
+        state, metrics = fn(state, pool)
+
+        if i % 10 == 0 or i == n_iters:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.log(i, **m)
+            if progress and (i % 1000 == 0 or i == n_iters):
+                rays_s = cfg.batch_size * i / max(time.time() - t0, 1e-9)
+                print(f"step {i}/{n_iters} loss={m['loss']:.5f} "
+                      f"psnr={m['psnr']:.2f} rays/s={rays_s:,.0f}")
+
+        if checkpoint_every and i % checkpoint_every == 0:
+            save_checkpoint(save_dir, f"checkpoint_{i:06d}", state,
+                            {"step": i, **{k: float(v) for k, v in metrics.items()}})
+
+    save_checkpoint(save_dir, "checkpoint_final", state,
+                    {"step": n_iters, **{k: float(v) for k, v in metrics.items()}})
+    logger.close()
+    return state, logger

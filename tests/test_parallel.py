@@ -1,0 +1,119 @@
+"""Distributed tests on the faked 8-device CPU mesh (SURVEY.md §4):
+sharded batch == replicated math, gradient all-reduce correctness, tensor
+parallelism, sharded frame render."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from danerf_tpu.config import NeRFConfig
+from danerf_tpu.data import make_synthetic_scene
+from danerf_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    param_pspecs,
+    replicate_pool,
+    shard_train_state,
+)
+from danerf_tpu.parallel.mesh import make_sharded_render
+from danerf_tpu.train import create_train_state, make_train_step
+
+TINY = NeRFConfig(hidden_dim=32, num_layers=3, skip_connect_layers=(2,),
+                  num_samples=16, num_importance=0, batch_size=128,
+                  use_bf16=False, appearance_dim=8)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene("train", n_images=4, height=32, width=32)
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single_device(scene):
+    """Same key, same data: the 8-way sharded step must produce the same loss
+    and parameters as the unsharded step (the all-reduce placement bar from
+    SURVEY.md §4)."""
+    mesh = make_mesh(data=8, model=1)
+    pool_s = replicate_pool(scene.device_arrays(), mesh)
+    pool_1 = scene.device_arrays()
+
+    st_a = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    st_b = shard_train_state(create_train_state(jax.random.key(0), TINY, scene.n_images), mesh)
+
+    step_1 = make_train_step(TINY, scene.height, scene.width, scene.focal)
+    step_8 = make_sharded_train_step(TINY, mesh, scene.height, scene.width, scene.focal)
+
+    for _ in range(3):
+        st_a, m_a = step_1(st_a, pool_1)
+        st_b, m_b = step_8(st_b, pool_s)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_batch_actually_sharded(scene):
+    """The rendered batch inside the sharded step must be laid out P('data')."""
+    mesh = make_mesh(data=8, model=1)
+    sharding = NamedSharding(mesh, P("data"))
+    x = jax.device_put(jnp.zeros((128, 3)), sharding)
+    # addressable shards: 8 pieces of 16 rays each
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (16, 3)
+
+
+def test_tensor_parallel_matches_replicated(scene):
+    """2-way TP over the hidden dim must be numerically equivalent."""
+    mesh = make_mesh(data=4, model=2)
+    st = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    specs = param_pspecs(st.params, tensor_parallel=True)
+    # trunk alternates column/row parallel
+    assert specs["model"]["trunk"][0]["w"] == P(None, "model")
+    assert specs["model"]["trunk"][1]["w"] == P("model", None)
+
+    from danerf_tpu.models import nerf_apply
+    x = jax.random.normal(jax.random.key(1), (64, 3))
+    d = jax.random.normal(jax.random.key(2), (64, 3))
+    want = nerf_apply(st.params["model"], TINY, x, d)
+
+    st_tp = shard_train_state(st, mesh, tensor_parallel=True)
+    got = jax.jit(lambda p: nerf_apply(p, TINY, x, d))(st_tp.params["model"])
+    np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(want[1]), np.asarray(got[1]), atol=1e-4)
+
+
+def test_sharded_render_matches_unsharded(scene):
+    from danerf_tpu.ops.rays import generate_rays
+    from danerf_tpu.render import render_rays
+
+    mesh = make_mesh(data=8, model=1)
+    st = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    H = W = 16
+    o, d = generate_rays(H, W, scene.focal, jnp.asarray(scene.c2ws[0]))
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+
+    render = make_sharded_render(TINY, mesh, H, W, TINY.num_samples, 0)
+    rgb_s, depth_s, _ = render(st.params["model"], jax.random.key(0), o, d, None)
+    out = render_rays(st.params["model"], TINY, jax.random.key(0), o, d,
+                      n_importance=0, perturb=False)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(out["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_s), np.asarray(out["depth"]), atol=1e-4)
+
+
+def test_train_loop_with_mesh(scene):
+    """End-to-end: the high-level train() API accepts a mesh."""
+    import tempfile
+
+    mesh = make_mesh(data=8, model=1)
+    from danerf_tpu.train import train
+
+    with tempfile.TemporaryDirectory() as d:
+        state, _ = train(TINY, scene, save_dir=d, num_iterations=3,
+                         checkpoint_every=0, mesh=mesh, progress=False)
+    assert int(state.step) == 3

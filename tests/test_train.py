@@ -1,0 +1,117 @@
+"""Trainer tests: LR schedule parity with StepLR, loss descent on the
+synthetic scene, checkpoint round-trip + true resume (SURVEY.md §4, §5.4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from danerf_tpu.config import NeRFConfig
+from danerf_tpu.data import make_synthetic_scene
+from danerf_tpu.train import create_train_state, make_train_step, train
+from danerf_tpu.train.trainer import TrainState, lr_schedule
+from danerf_tpu.utils.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                         save_checkpoint)
+
+TINY = NeRFConfig(hidden_dim=32, num_layers=3, skip_connect_layers=(2,),
+                  num_samples=16, num_importance=0, batch_size=128,
+                  use_bf16=False, appearance_dim=8, warmup_iters=2,
+                  warmup_batch_size=32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene("train", n_images=4, height=32, width=32)
+
+
+def test_lr_schedule_matches_steplr():
+    # StepLR: lr * 0.5^floor(step/10000) (reference config.py:22-25)
+    cfg = NeRFConfig()
+    sched = lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(5e-4)
+    assert float(sched(9999)) == pytest.approx(5e-4)
+    assert float(sched(10000)) == pytest.approx(2.5e-4)
+    assert float(sched(20000)) == pytest.approx(1.25e-4)
+
+
+def test_train_step_updates_and_metrics(scene):
+    state = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    pool = scene.device_arrays()
+    step = make_train_step(TINY, scene.height, scene.width, scene.focal)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, m = step(state, pool)
+    assert int(state.step) == 1
+    assert np.isfinite(float(m["loss"]))
+    p1 = state.params
+    diffs = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - np.asarray(b)).max()), p0, p1)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    # appearance embeddings train too (reference src/train.py:36-37)
+    assert float(np.abs(p0["appearance"] - np.asarray(p1["appearance"])).max()) > 0
+
+
+def test_loss_decreases_on_synthetic_scene(scene):
+    state = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    pool = scene.device_arrays()
+    step = make_train_step(TINY, scene.height, scene.width, scene.focal)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, pool)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+
+
+def test_hierarchical_train_step_runs(scene):
+    cfg = TINY.replace(num_importance=16)
+    state = create_train_state(jax.random.key(0), cfg, scene.n_images)
+    pool = scene.device_arrays()
+    step = make_train_step(cfg, scene.height, scene.width, scene.focal)
+    state, m = step(state, pool)
+    assert "coarse_mse" in m
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, scene):
+    state = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    save_checkpoint(str(tmp_path), "checkpoint_000005", state, {"step": 5})
+    path = latest_checkpoint(str(tmp_path))
+    assert path is not None and path.endswith("checkpoint_000005")
+    restored, meta = restore_checkpoint(path, state)
+    assert meta["step"] == 5
+
+    def host(t):
+        from danerf_tpu.utils.checkpoint import _to_host
+        return _to_host(t)
+
+    for x, y in zip(jax.tree_util.tree_leaves(host(state)),
+                    jax.tree_util.tree_leaves(host(restored))):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_train_loop_with_resume(tmp_path, scene):
+    d = str(tmp_path / "ck")
+    state1, log1 = train(TINY, scene, save_dir=d, num_iterations=8,
+                         checkpoint_every=4, progress=False)
+    assert int(state1.step) == 8
+    assert os.path.exists(os.path.join(d, "checkpoint_000008"))
+    assert os.path.exists(os.path.join(d, "checkpoint_final"))
+
+    # resume continues from the final checkpoint's step
+    state2, _ = train(TINY, scene, save_dir=d, num_iterations=12, resume=True,
+                      progress=False)
+    assert int(state2.step) == 12
+
+
+def test_warmup_batch_then_full(scene):
+    """First warmup_iters steps use the small batch (src/train.py:26,56-58);
+    both step functions must produce a valid state transition."""
+    state = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    pool = scene.device_arrays()
+    warm = make_train_step(TINY, scene.height, scene.width, scene.focal,
+                           batch_size=TINY.warmup_batch_size)
+    full = make_train_step(TINY, scene.height, scene.width, scene.focal)
+    state, m1 = warm(state, pool)
+    state, m2 = full(state, pool)
+    assert int(state.step) == 2
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
