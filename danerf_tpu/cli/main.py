@@ -1,0 +1,220 @@
+"""Unified CLI: train / render / spiral / effects / video.
+
+Preserves the user-visible knob set of the reference's entry points —
+run.py:15-61 (~25 flags incl. quality presets, camera paths, shader/effect
+selection, frame ranges), render_aligned_spiral.py:211-219,
+apply_all_shaders.py:178-183, create_video.py:79-86 — as subcommands of one
+``python -m danerf_tpu.cli.main``.  Config overrides land on the frozen
+NeRFConfig dataclass instead of mutating a global class.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="danerf", description="TPU NeRF-W framework")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    # ---- train (reference run.py --mode train) ----
+    t = sub.add_parser("train", help="train a NeRF-W model")
+    t.add_argument("--scene", type=str, default="lego")
+    t.add_argument("--dataset_path", type=str, default="data/nerf_synthetic")
+    t.add_argument("--iters", type=int, default=None)
+    t.add_argument("--batch_size", type=int, default=None)
+    t.add_argument("--save_dir", type=str, default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--no_appearance", action="store_true")
+    t.add_argument("--num_importance", type=int, default=None)
+    t.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel axis size (0 = all devices)")
+    t.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel axis size")
+    t.add_argument("--seed", type=int, default=0)
+
+    # ---- render (reference run.py --mode render) ----
+    r = sub.add_parser("render", help="render novel views along a camera path")
+    r.add_argument("--scene", type=str, default="hotdog")
+    r.add_argument("--dataset_path", type=str, default="data/nerf_synthetic")
+    r.add_argument("--checkpoint", type=str, default=None)
+    r.add_argument("--output_dir", type=str, default="output")
+    r.add_argument("--frames", type=int, default=120)
+    r.add_argument("--quality", type=str, default="high",
+                   choices=["preview", "medium", "high"])
+    r.add_argument("--width", type=int, default=800)
+    r.add_argument("--height", type=int, default=800)
+    r.add_argument("--start_frame", type=int, default=0)
+    r.add_argument("--end_frame", type=int, default=None)
+    r.add_argument("--camera_path", type=str, default="circle",
+                   choices=["circle", "spiral", "hemisphere", "horizontal_only"])
+    r.add_argument("--spiral_loops", type=float, default=2.0)
+    r.add_argument("--height_range", type=float, nargs=2, default=[-0.5, 0.5])
+    r.add_argument("--effect", type=str, default=None,
+                   help="depth-aware effect applied per frame (replaces --use_shader)")
+    r.add_argument("--save_depth", action="store_true")
+    r.add_argument("--raw_output", action="store_true")
+    r.add_argument("--create_video", action="store_true")
+    r.add_argument("--fps", type=int, default=30)
+
+    # ---- spiral (reference render_aligned_spiral.py) ----
+    s = sub.add_parser("spiral", help="aligned spiral render + video")
+    s.add_argument("--scene", type=str, default="chair")
+    s.add_argument("--dataset_path", type=str, default="data/nerf_synthetic")
+    s.add_argument("--checkpoint", type=str, default=None)
+    s.add_argument("--output_dir", type=str, default="spiral_render")
+    s.add_argument("--frames", type=int, default=120)
+    s.add_argument("--fps", type=int, default=60)
+    s.add_argument("--loops", type=float, default=2)
+    s.add_argument("--rotation", type=str, default="x",
+                   choices=["x", "y", "z", "none"])
+    s.add_argument("--width", type=int, default=800)
+    s.add_argument("--height", type=int, default=800)
+
+    # ---- effects (reference apply_all_shaders.py) ----
+    e = sub.add_parser("effects", help="apply effects to rendered frames")
+    e.add_argument("--input_dir", type=str, required=True)
+    e.add_argument("--output_dir", type=str, default=None)
+    e.add_argument("--effect", type=str, default=None,
+                   help="one effect; default: all")
+    e.add_argument("--skip_effects", type=str, nargs="+", default=[])
+    e.add_argument("--fog_only", action="store_true")
+    e.add_argument("--fps", type=int, default=60)
+
+    # ---- video (reference create_video.py) ----
+    v = sub.add_parser("video", help="encode an image sequence to video")
+    v.add_argument("--input_dir", type=str, required=True)
+    v.add_argument("--output", type=str, required=True)
+    v.add_argument("--pattern", type=str, default="rgb_*.png")
+    v.add_argument("--fps", type=int, default=30)
+    v.add_argument("--resolution", type=int, nargs=2, default=None)
+    return p
+
+
+def _make_config(args):
+    from danerf_tpu.config import NeRFConfig
+
+    cfg = NeRFConfig(scene=args.scene, dataset_path=args.dataset_path)
+    over = {}
+    if getattr(args, "batch_size", None):
+        over["batch_size"] = args.batch_size
+    if getattr(args, "no_appearance", False):
+        over["use_appearance"] = False
+    if getattr(args, "num_importance", None) is not None:
+        over["num_importance"] = args.num_importance
+    return cfg.replace(**over) if over else cfg
+
+
+def _load_checkpoint_params(args, cfg, n_images):
+    """Restore params (+ appearance) for rendering (reference run.py:349-366)."""
+    import jax
+
+    from danerf_tpu.train import create_train_state
+    from danerf_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+    ckpt = args.checkpoint
+    if not ckpt:
+        default_dir = f"checkpoints_{args.scene}"
+        ckpt = latest_checkpoint(default_dir)
+        if ckpt is None:
+            sys.exit(f"No checkpoint found in {default_dir}; pass --checkpoint")
+        print(f"Using checkpoint: {ckpt}")
+    template = create_train_state(jax.random.key(0), cfg, n_images)
+    state, _ = restore_checkpoint(ckpt, template)
+    params = state[0]
+    emb = None
+    if cfg.use_appearance and "appearance" in params:
+        emb = params["appearance"][0]  # reference uses embedding 0 (run.py:205)
+    return params["model"], emb
+
+
+def cmd_train(args):
+    from danerf_tpu.data import load_dataset
+    from danerf_tpu.train import train
+
+    cfg = _make_config(args)
+    ds = load_dataset(cfg, "train")
+    mesh = None
+    if args.mesh_data != 1 or args.mesh_model != 1:
+        import jax
+
+        from danerf_tpu.parallel import make_mesh
+
+        data = args.mesh_data or len(jax.devices()) // args.mesh_model
+        if data * args.mesh_model <= len(jax.devices()):
+            mesh = make_mesh(data=data, model=args.mesh_model)
+            cfg = cfg.replace(mesh_data=data, mesh_model=args.mesh_model)
+    save_dir = args.save_dir or f"checkpoints_{args.scene}"
+    train(cfg, ds, save_dir=save_dir, resume=args.resume,
+          num_iterations=args.iters, seed=args.seed, mesh=mesh,
+          log_path=os.path.join(save_dir, "metrics.jsonl"))
+
+
+def cmd_render(args):
+    from danerf_tpu.data import load_dataset
+    from danerf_tpu.render.frames import render_path
+
+    cfg = _make_config(args)
+    ds = load_dataset(cfg, "train")
+    params, emb = _load_checkpoint_params(args, cfg, ds.n_images)
+    render_path(params, cfg, args.output_dir, appearance_embedding=emb,
+                num_frames=args.frames, quality=args.quality,
+                width=args.width, height=args.height,
+                start_frame=args.start_frame, end_frame=args.end_frame,
+                camera_path_kind=args.camera_path,
+                spiral_loops=args.spiral_loops,
+                height_range=tuple(args.height_range), effect=args.effect,
+                save_depth=args.save_depth, raw_output=args.raw_output,
+                make_video=args.create_video, fps=args.fps,
+                dataset_width=ds.width, focal=ds.focal)
+
+
+def cmd_spiral(args):
+    from danerf_tpu.data import load_dataset
+    from danerf_tpu.render.frames import render_aligned_spiral
+
+    cfg = _make_config(args)
+    ds = load_dataset(cfg, "train")
+    params, emb = _load_checkpoint_params(args, cfg, ds.n_images)
+    out = args.output_dir
+    if not out.startswith("output/"):  # reference render_aligned_spiral.py:21-22
+        out = os.path.join("output", out)
+    render_aligned_spiral(params, cfg, out, appearance_embedding=emb,
+                          num_frames=args.frames, fps=args.fps,
+                          loops=args.loops, rotation_axis=args.rotation,
+                          height=args.height, width=args.width, focal=ds.focal)
+
+
+def cmd_effects(args):
+    from danerf_tpu.fx.batch import apply_all_effects, apply_effect_to_frames
+
+    out = args.output_dir or args.input_dir + "_effects"
+    if args.effect:
+        apply_effect_to_frames(args.input_dir,
+                               os.path.join(out, args.effect.lower().replace(" ", "_")),
+                               args.effect, fps=args.fps)
+    else:
+        apply_all_effects(args.input_dir, out, fog_only=args.fog_only,
+                          skip=args.skip_effects, fps=args.fps)
+
+
+def cmd_video(args):
+    from danerf_tpu.viz.video import create_video_from_images
+
+    ok = create_video_from_images(args.input_dir, args.output, args.pattern,
+                                  args.fps,
+                                  tuple(args.resolution) if args.resolution else None)
+    if not ok:
+        sys.exit(f"no images matching {args.pattern} in {args.input_dir}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {"train": cmd_train, "render": cmd_render, "spiral": cmd_spiral,
+     "effects": cmd_effects, "video": cmd_video}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Novel-view frame rendering drivers.
+
+TPU-native equivalents of the reference's render_path (/root/reference/run.py:63-282)
+and render_aligned_spiral (/root/reference/render_aligned_spiral.py:15-208):
+quality presets, the four camera paths + aligned spiral, rgb/depth PNG output
+with the reference's file naming (rgb_NNN.png / frame_NNNN.png / depth_*), the
+optional per-frame depth-aware effect — applied as a jitted on-device op while
+the depth buffer is still on device — and video assembly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from danerf_tpu.config import RENDER_PRESETS, NeRFConfig
+from danerf_tpu.render.renderer import render_frame
+from danerf_tpu.viz.depth import colorize_depth, depth_to_gray_u8, normalize_depth
+from danerf_tpu.viz.paths import aligned_spiral_path, camera_path
+
+
+def _save_png(arr: np.ndarray, path: str):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def render_path(params, cfg: NeRFConfig, output_dir: str,
+                appearance_embedding=None, num_frames: int = 120,
+                quality: str = "high", width: int = 800, height: int = 800,
+                start_frame: int = 0, end_frame: Optional[int] = None,
+                camera_path_kind: str = "circle", spiral_loops: float = 2.0,
+                height_range=(-0.5, 0.5), effect: Optional[str] = None,
+                effect_params: Optional[dict] = None, save_depth: bool = False,
+                raw_output: bool = False, make_video: bool = False,
+                fps: int = 30, dataset_width: Optional[int] = None,
+                focal: Optional[float] = None, seed: int = 0,
+                frame_name: str = "rgb_{:03d}.png") -> list[str]:
+    """Render frames along a parametric path (reference run.py:63-282).
+
+    focal: dataset focal at dataset_width; rescaled for the output width like
+    run.py:199-200.  Returns written rgb paths.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+
+    preset = RENDER_PRESETS[quality]
+    n_samples = max(int(cfg.num_samples * preset["samples_scale"]), 1)
+    n_importance = cfg.num_importance if preset["importance"] else 0
+    perturb = preset["perturb"]
+
+    if focal is None:
+        focal = 0.5 * width / np.tan(0.5 * 0.6911)
+    elif dataset_width is not None:
+        focal = focal * (width / dataset_width)
+
+    c2ws = camera_path(camera_path_kind, num_frames, cfg.scene,
+                       spiral_loops, height_range)
+    if end_frame is None:
+        end_frame = num_frames
+
+    key = jax.random.key(seed)
+    written = []
+    for i, c2w in enumerate(c2ws):
+        frame_idx = start_frame + i
+        if frame_idx >= end_frame:
+            break
+        rgb, depth, _ = render_frame(
+            params, cfg, jax.random.fold_in(key, i), c2w, height, width, focal,
+            appearance_embedding=appearance_embedding,
+            n_samples=n_samples, n_importance=n_importance, perturb=perturb)
+
+        depth_np = np.asarray(depth)
+        if raw_output or save_depth:
+            raw_dir = os.path.join(output_dir, "raw")
+            os.makedirs(raw_dir, exist_ok=True)
+        rgb_u8 = np.asarray((rgb * 255).astype(np.uint8) if rgb.dtype != np.uint8 else rgb)
+        rgb_u8 = np.clip(rgb_u8, 0, 255).astype(np.uint8)
+        if raw_output:
+            _save_png(rgb_u8, os.path.join(raw_dir, f"rgb_{frame_idx:03d}.png"))
+        if save_depth:
+            np.save(os.path.join(raw_dir, f"depth_{frame_idx:03d}.npy"), depth_np)
+
+        if effect is not None and not raw_output:
+            from danerf_tpu.fx import apply_effect
+
+            depth_norm = normalize_depth(depth_np)
+            rgb_u8 = np.asarray(apply_effect(effect, rgb_u8, depth_norm,
+                                             effect_params,
+                                             key=jax.random.fold_in(key, 10_000 + i)))
+
+        out_path = os.path.join(output_dir, frame_name.format(frame_idx))
+        _save_png(rgb_u8, out_path)
+        _save_png(colorize_depth(depth_np),
+                  os.path.join(output_dir, f"depth_{frame_idx:03d}.png"))
+        written.append(out_path)
+
+    if make_video and written:
+        from danerf_tpu.viz.video import create_video_from_images
+
+        create_video_from_images(
+            output_dir, os.path.join(output_dir, f"{cfg.scene}_render.mp4"),
+            pattern=frame_name.replace("{:03d}", "*"), fps=fps)
+    return written
+
+
+def render_aligned_spiral(params, cfg: NeRFConfig, output_dir: str,
+                          appearance_embedding=None, num_frames: int = 120,
+                          fps: int = 60, loops: float = 2.0,
+                          rotation_axis: str = "x", height: int = 800,
+                          width: int = 800, focal: Optional[float] = None,
+                          make_video: bool = True, seed: int = 0) -> list[str]:
+    """Aligned spiral render (reference render_aligned_spiral.py:15-208):
+    frame_NNNN.png naming, grayscale depth every 10th frame, chunked render
+    without perturbation, inline video."""
+    os.makedirs(output_dir, exist_ok=True)
+    if focal is None:
+        focal = 0.5 * width / np.tan(0.5 * 0.6911)
+
+    c2ws = aligned_spiral_path(num_frames, loops, rotation_axis, cfg.scene)
+    key = jax.random.key(seed)
+    written = []
+    for i, c2w in enumerate(c2ws):
+        rgb, depth, _ = render_frame(
+            params, cfg, jax.random.fold_in(key, i), c2w, height, width, focal,
+            appearance_embedding=appearance_embedding, perturb=False)
+        rgb_u8 = np.clip(np.asarray(rgb) * 255, 0, 255).astype(np.uint8)
+        path = os.path.join(output_dir, f"frame_{i:04d}.png")
+        _save_png(rgb_u8, path)
+        written.append(path)
+        if i % 10 == 0:  # depth every 10 frames (render_aligned_spiral.py:169)
+            _save_png(depth_to_gray_u8(np.asarray(depth)),
+                      os.path.join(output_dir, f"depth_{i:04d}.png"))
+
+    if make_video:
+        from danerf_tpu.viz.video import create_video_from_images
+
+        create_video_from_images(output_dir,
+                                 os.path.join(output_dir, f"{cfg.scene}_spiral.mp4"),
+                                 pattern="frame_*.png", fps=fps)
+    return written
