@@ -53,13 +53,16 @@ def bench_train_step(cfg, n_images=20, height=800, width=800,
 
     for _ in range(warmup):
         state, metrics = step(state, pool)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # value fetch: block_until_ready alone does not
+    # force execution through the remote-dispatch tunnel (measured: it returns
+    # at enqueue time and reports physically impossible FLOP rates)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, pool)
-    jax.block_until_ready(metrics["loss"])
+    loss = float(metrics["loss"])  # forces the whole chained sequence
     dt = time.perf_counter() - t0
+    assert loss == loss, "non-finite loss in bench"
     return cfg.batch_size * iters / dt
 
 

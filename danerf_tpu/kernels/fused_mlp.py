@@ -1,0 +1,341 @@
+"""Fused NeRF field evaluation as Pallas TPU kernels.
+
+This is the speed-of-light pass over the hot loop (SURVEY.md §7 step 7): the
+reference's dominant FLOPs are the 8x256 MLP over rays*samples points
+(src/render.py:49, src/train.py analysis in SURVEY.md §3.1).  The XLA path
+(models/nerf.py) is correct but stores every trunk activation to HBM for the
+backward — ~0.5 GB per 65k-sample step each way.  These kernels instead:
+
+- forward: positional encoding + trunk + heads for a tile of samples entirely
+  in VMEM; HBM sees only (pts, dirs, emb) in and (rgb, sigma) out.
+- backward (custom VJP): recomputes the tile's activations in VMEM, then runs
+  the transposed chain, accumulating parameter gradients across the
+  sequential TPU grid into VMEM-resident accumulators.  No activation ever
+  round-trips HBM, trading ~1/3 more matmul FLOPs for the entire activation
+  bandwidth — the standard remat trade, taken all the way to the register
+  level.
+
+Gradients flow only to parameters and appearance embeddings: ray positions,
+directions and sample depths are data (the sampler's z is stop-gradiented in
+the renderer), so the VJP legitimately returns zeros for pts/dirs.
+
+Weights live in fp32; matmuls run in bf16 with fp32 accumulation when
+``cfg.use_bf16`` (MXU-native), mirroring the XLA path's numerics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from danerf_tpu.config import NeRFConfig
+
+# Samples per grid step.  512 keeps fwd+bwd VMEM (params + grads + 8 trunk
+# activations + concat buffers) under ~10 MB of the ~16 MB budget.
+TILE = 512
+
+
+# ------------------------------------------------------------------ packing
+
+def pack_params(params: dict, cfg: NeRFConfig):
+    """Flatten the param pytree into the kernel argument list.
+
+    Biases are reshaped to (1, d) — TPU kernels want >=2-D operands.  A model
+    without appearance projection gets zero weights so one kernel shape serves
+    both configurations.
+    """
+    arrs = []
+    for layer in params["trunk"]:
+        arrs += [layer["w"], layer["b"].reshape(1, -1)]
+    arrs += [params["density"]["w"], params["density"]["b"].reshape(1, -1)]
+    arrs += [params["dir"]["w"], params["dir"]["b"].reshape(1, -1)]
+    app = params.get("appearance_proj")
+    if app is not None:
+        arrs += [app["w"], app["b"].reshape(1, -1)]
+    else:
+        arrs += [jnp.zeros((cfg.appearance_dim, cfg.hidden_dim // 2), jnp.float32),
+                 jnp.zeros((1, cfg.hidden_dim // 2), jnp.float32)]
+    arrs += [params["rgb"]["w"], params["rgb"]["b"].reshape(1, -1)]
+    return arrs
+
+
+def unpack_grads(grads: list, params: dict, cfg: NeRFConfig) -> dict:
+    """Inverse of pack_params for the gradient pytree."""
+    it = iter(grads)
+    out: dict[str, Any] = {"trunk": []}
+    for _ in params["trunk"]:
+        w, b = next(it), next(it)
+        out["trunk"].append({"w": w, "b": b.reshape(-1)})
+    for name in ["density", "dir"]:
+        w, b = next(it), next(it)
+        out[name] = {"w": w, "b": b.reshape(-1)}
+    w, b = next(it), next(it)
+    if "appearance_proj" in params:
+        out["appearance_proj"] = {"w": w, "b": b.reshape(-1)}
+    w2, b2 = next(it), next(it)
+    out["rgb"] = {"w": w2, "b": b2.reshape(-1)}
+    return out
+
+
+# ------------------------------------------------------------------ forward
+
+def _dot(a, w, compute_dtype):
+    return jnp.dot(a.astype(compute_dtype), w.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _encode(x, num_frequencies: int):
+    """Positional encoding with 2-D-only intermediates (Mosaic-friendly);
+    same feature order as ops.encoding.positional_encoding."""
+    outs = [x]
+    for i in range(num_frequencies):
+        f = 2.0 ** i
+        outs.append(jnp.sin(f * x))
+        outs.append(jnp.cos(f * x))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p):
+    """Shared fwd math on one tile; returns (rgb, sigma, residual activations).
+
+    p: list of param arrays in pack_params order.  Residuals are only consumed
+    by the in-kernel backward (they stay in VMEM / registers).
+    """
+    cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    n_layers = cfg.num_layers
+    enc_x = _encode(pts, cfg.pos_enc_levels)
+    enc_d = _encode(dirs, cfg.dir_enc_levels)
+
+    hs = []      # post-relu trunk activations
+    ins = []     # layer inputs (possibly concat with enc_x)
+    h = enc_x
+    for i in range(n_layers):
+        if i in cfg.skip_connect_layers and i > 0:
+            h = jnp.concatenate([h, enc_x], axis=-1)
+        ins.append(h)
+        w, b = p[2 * i], p[2 * i + 1]
+        h = jax.nn.relu(_dot(h, w, cdt) + b)
+        hs.append(h)
+
+    wd, bd = p[2 * n_layers], p[2 * n_layers + 1]
+    sigma_pre = _dot(h, wd, cdt) + bd
+    sigma = jax.nn.relu(sigma_pre)
+
+    wdir, bdir = p[2 * n_layers + 2], p[2 * n_layers + 3]
+    dcat = jnp.concatenate([h, enc_d], axis=-1)
+    hdir_pre = _dot(dcat, wdir, cdt) + bdir
+    hdir = jax.nn.relu(hdir_pre)
+
+    wapp, bapp = p[2 * n_layers + 4], p[2 * n_layers + 5]
+    happ = hdir + _dot(emb, wapp, cdt) + bapp
+
+    wrgb, brgb = p[2 * n_layers + 6], p[2 * n_layers + 7]
+    rgb = jax.nn.sigmoid(_dot(happ, wrgb, cdt) + brgb)
+
+    res = dict(enc_x=enc_x, enc_d=enc_d, hs=hs, ins=ins, sigma_pre=sigma_pre,
+               dcat=dcat, hdir_pre=hdir_pre, hdir=hdir, happ=happ, rgb=rgb)
+    return rgb, sigma, res
+
+
+def _fwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
+    ins, outs = refs[: 3 + n_params], refs[3 + n_params:]
+    pts_ref, dirs_ref, emb_ref = ins[:3]
+    p = [r[:] for r in ins[3:]]
+    rgb_ref, sigma_ref = outs
+    rgb, sigma, _ = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb_ref[:], p)
+    rgb_ref[:] = rgb
+    sigma_ref[:] = sigma
+
+
+# ----------------------------------------------------------------- backward
+
+def _bwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
+    ins = refs[: 5 + n_params]
+    outs = refs[5 + n_params:]
+    pts_ref, dirs_ref, emb_ref, g_rgb_ref, g_sigma_ref = ins[:5]
+    p = [r[:] for r in ins[5:]]
+    dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
+
+    cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    n_layers = cfg.num_layers
+    hidden = cfg.hidden_dim
+
+    # Recompute the tile forward, keeping residuals in VMEM.
+    emb = emb_ref[:]
+    _, _, r = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb, p)
+
+    g_rgb = g_rgb_ref[:]
+    g_sigma = g_sigma_ref[:]
+
+    def dotT_a(a, g):  # contribution to dW: a^T @ g
+        return jnp.dot(a.astype(cdt).T, g.astype(cdt),
+                       preferred_element_type=jnp.float32)
+
+    def dot_wT(g, w):  # upstream: g @ w^T
+        return jnp.dot(g.astype(cdt), w.astype(cdt).T,
+                       preferred_element_type=jnp.float32)
+
+    grads = [None] * n_params
+
+    # rgb head: rgb = sigmoid(happ @ Wrgb + brgb)
+    wrgb = p[2 * n_layers + 6]
+    d_pre_rgb = g_rgb * r["rgb"] * (1.0 - r["rgb"])
+    grads[2 * n_layers + 6] = dotT_a(r["happ"], d_pre_rgb)
+    grads[2 * n_layers + 7] = jnp.sum(d_pre_rgb, axis=0, keepdims=True)
+    d_happ = dot_wT(d_pre_rgb, wrgb)
+
+    # appearance projection: happ = hdir + emb @ Wapp + bapp
+    wapp = p[2 * n_layers + 4]
+    grads[2 * n_layers + 4] = dotT_a(emb, d_happ)
+    grads[2 * n_layers + 5] = jnp.sum(d_happ, axis=0, keepdims=True)
+    demb_ref[:] = dot_wT(d_happ, wapp)
+
+    # dir branch: hdir = relu([h8, enc_d] @ Wdir + bdir)
+    wdir = p[2 * n_layers + 2]
+    d_hdir_pre = d_happ * (r["hdir_pre"] > 0)
+    grads[2 * n_layers + 2] = dotT_a(r["dcat"], d_hdir_pre)
+    grads[2 * n_layers + 3] = jnp.sum(d_hdir_pre, axis=0, keepdims=True)
+    d_h = dot_wT(d_hdir_pre, wdir)[:, :hidden]  # enc_d part is data
+
+    # density head: sigma = relu(h8 @ Wd + bd)
+    wd = p[2 * n_layers]
+    d_sigma_pre = g_sigma * (r["sigma_pre"] > 0)
+    grads[2 * n_layers] = dotT_a(r["hs"][-1], d_sigma_pre)
+    grads[2 * n_layers + 1] = jnp.sum(d_sigma_pre, axis=0, keepdims=True)
+    d_h = d_h + dot_wT(d_sigma_pre, wd)
+
+    # trunk, reversed, dropping skip-concat grads into the previous layer
+    for i in range(n_layers - 1, -1, -1):
+        w = p[2 * i]
+        d_pre = d_h * (r["hs"][i] > 0)
+        grads[2 * i] = dotT_a(r["ins"][i], d_pre)
+        grads[2 * i + 1] = jnp.sum(d_pre, axis=0, keepdims=True)
+        if i > 0:
+            d_in = dot_wT(d_pre, w)
+            d_h = d_in[:, :hidden]  # enc_x tail (skip layers) is data
+
+    # Accumulate parameter grads across the sequential grid.
+    first = pl.program_id(0) == 0
+    for ref, g in zip(dparam_refs, grads):
+        @pl.when(first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+# ----------------------------------------------------------------- wrappers
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _tile_spec(feat):
+    return pl.BlockSpec((TILE, feat), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _pad_to_tile(x):
+    n = x.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_apply(packed, pts, dirs, emb, cfg: NeRFConfig):
+    return _fused_fwd_call(packed, pts, dirs, emb, cfg)
+
+
+def _fused_fwd_call(packed, pts, dirs, emb, cfg: NeRFConfig):
+    interpret = jax.default_backend() != "tpu"
+    n_params = len(packed)
+    n_tiles = pts.shape[0] // TILE
+    kernel = functools.partial(_fwd_kernel, cfg, n_params)
+    rgb, sigma = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1])]
+        + [_const_spec(w.shape) for w in packed],
+        out_specs=[_tile_spec(3), _tile_spec(1)],
+        out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 3), jnp.float32),
+                   jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
+        interpret=interpret,
+    )(pts, dirs, emb, *packed)
+    return rgb, sigma
+
+
+def _fused_vjp_fwd(packed, pts, dirs, emb, cfg: NeRFConfig):
+    out = _fused_fwd_call(packed, pts, dirs, emb, cfg)
+    return out, (packed, pts, dirs, emb)
+
+
+def _fused_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
+    packed, pts, dirs, emb = residuals
+    g_rgb, g_sigma = cotangents
+    interpret = jax.default_backend() != "tpu"
+    n_params = len(packed)
+    n_tiles = pts.shape[0] // TILE
+    kernel = functools.partial(_bwd_kernel, cfg, n_params)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1]),
+                  _tile_spec(3), _tile_spec(1)]
+        + [_const_spec(w.shape) for w in packed],
+        out_specs=[_const_spec(w.shape) for w in packed]
+        + [_tile_spec(emb.shape[-1])],
+        out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed]
+        + [jax.ShapeDtypeStruct(emb.shape, jnp.float32)],
+        interpret=interpret,
+    )(pts, dirs, emb, g_rgb, g_sigma, *packed)
+    dparams, demb = list(outs[:-1]), outs[-1]
+    return (dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs), demb)
+
+
+_fused_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_nerf_apply(params: dict, cfg: NeRFConfig, x, d, appearance_embedding=None):
+    """Drop-in replacement for models.nerf.nerf_apply on flattened inputs.
+
+    x, d: (..., 3); appearance_embedding: (..., app_dim) or None.
+    Returns rgb (..., 3), sigma (...,).
+    """
+    if cfg.use_time:
+        raise NotImplementedError("fused kernel does not support use_time yet; "
+                                  "use models.nerf.nerf_apply")
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)
+    df = jnp.broadcast_to(d, x.shape).reshape(-1, 3).astype(jnp.float32)
+    if appearance_embedding is None:
+        ef = jnp.zeros((xf.shape[0], cfg.appearance_dim), jnp.float32)
+    else:
+        ef = jnp.broadcast_to(
+            appearance_embedding, lead + (appearance_embedding.shape[-1],)
+        ).reshape(-1, appearance_embedding.shape[-1]).astype(jnp.float32)
+
+    xf, n = _pad_to_tile(xf)
+    df, _ = _pad_to_tile(df)
+    ef, _ = _pad_to_tile(ef)
+
+    packed = pack_params(params, cfg)
+    if appearance_embedding is None:
+        # Match nerf_apply(emb=None): the appearance term (including its bias)
+        # is skipped entirely, not evaluated at a zero embedding.
+        i_app = 2 * cfg.num_layers + 4
+        packed[i_app] = jnp.zeros_like(packed[i_app])
+        packed[i_app + 1] = jnp.zeros_like(packed[i_app + 1])
+    rgb, sigma = _fused_apply(packed, xf, df, ef, cfg)
+    rgb = rgb[:n].reshape(*lead, 3)
+    sigma = sigma[:n, 0].reshape(lead)
+    return rgb, sigma

@@ -47,7 +47,17 @@ def _eval_field(params, cfg, pts, rays_d, appearance_embedding, t):
     tt = None
     if t is not None:
         tt = jnp.broadcast_to(t[..., None, :], pts.shape[:-1] + (t.shape[-1],))
-    rgb, sigma = nerf_apply(params, cfg, pts, dirs, emb, tt)
+    if cfg.use_pallas and t is None:
+        from danerf_tpu.kernels import fused_nerf_apply
+
+        rgb, sigma = fused_nerf_apply(params, cfg, pts, dirs, emb)
+    elif cfg.remat:
+        apply = jax.checkpoint(
+            lambda p, a, b, c, dd: nerf_apply(p, cfg, a, b, c, dd),
+            policy=jax.checkpoint_policies.nothing_saveable)
+        rgb, sigma = apply(params, pts, dirs, emb, tt)
+    else:
+        rgb, sigma = nerf_apply(params, cfg, pts, dirs, emb, tt)
     del n_samples
     return rgb, sigma
 
