@@ -90,27 +90,52 @@ def _dot(a, w, compute_dtype):
                    preferred_element_type=jnp.float32)
 
 
-def _encode(x, num_frequencies: int):
-    """Positional encoding with 2-D-only intermediates (Mosaic-friendly);
-    same feature order as ops.encoding.positional_encoding."""
-    outs = [x]
+@functools.lru_cache(maxsize=None)
+def _encode_consts(num_frequencies: int, dim: int = 3):
+    """Constants for the matmul-form positional encoding.
+
+    gamma(x) is expressed as  where(is_input, y, sin(y + phase))  with
+    y = x @ M: M scatters each input dim into its [x, sin(2^i x), cos(2^i x)]
+    columns with the frequency folded in, and phase shifts the cos columns by
+    pi/2 (cos t = sin(t + pi/2)).  One small MXU matmul + one VPU sin replace
+    2L+1 narrow concats, which Mosaic would otherwise pad to full lanes each.
+    """
+    out_dim = dim * (1 + 2 * num_frequencies)
+    M = np.zeros((dim, out_dim), np.float32)
+    phase = np.zeros((1, out_dim), np.float32)
+    is_input = np.zeros((1, out_dim), np.float32)
+    for j in range(dim):
+        M[j, j] = 1.0
+        is_input[0, j] = 1.0
     for i in range(num_frequencies):
         f = 2.0 ** i
-        outs.append(jnp.sin(f * x))
-        outs.append(jnp.cos(f * x))
-    return jnp.concatenate(outs, axis=-1)
+        base = dim + i * 2 * dim
+        for j in range(dim):
+            M[j, base + j] = f              # sin block
+            M[j, base + dim + j] = f        # cos block
+            phase[0, base + dim + j] = np.pi / 2
+    return M, phase, is_input
 
 
-def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p):
+def _encode(x, M, phase, is_input):
+    """Positional encoding, matmul form; feature order matches
+    ops.encoding.positional_encoding.  The constants arrive as kernel inputs
+    (Pallas forbids captured array constants)."""
+    y = jnp.dot(x, M, preferred_element_type=jnp.float32)
+    return jnp.where(is_input > 0, y, jnp.sin(y + phase))
+
+
+def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts):
     """Shared fwd math on one tile; returns (rgb, sigma, residual activations).
 
-    p: list of param arrays in pack_params order.  Residuals are only consumed
-    by the in-kernel backward (they stay in VMEM / registers).
+    p: list of param arrays in pack_params order.  enc_consts: the 6 encoding
+    constant arrays (pos M/phase/mask, dir M/phase/mask).  Residuals are only
+    consumed by the in-kernel backward (they stay in VMEM / registers).
     """
     cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     n_layers = cfg.num_layers
-    enc_x = _encode(pts, cfg.pos_enc_levels)
-    enc_d = _encode(dirs, cfg.dir_enc_levels)
+    enc_x = _encode(pts, *enc_consts[:3])
+    enc_d = _encode(dirs, *enc_consts[3:])
 
     hs = []      # post-relu trunk activations
     ins = []     # layer inputs (possibly concat with enc_x)
@@ -144,11 +169,14 @@ def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p):
 
 
 def _fwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
-    ins, outs = refs[: 3 + n_params], refs[3 + n_params:]
+    n_in = 3 + 6 + n_params
+    ins, outs = refs[:n_in], refs[n_in:]
     pts_ref, dirs_ref, emb_ref = ins[:3]
-    p = [r[:] for r in ins[3:]]
+    enc_consts = [r[:] for r in ins[3:9]]
+    p = [r[:] for r in ins[9:]]
     rgb_ref, sigma_ref = outs
-    rgb, sigma, _ = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb_ref[:], p)
+    rgb, sigma, _ = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb_ref[:], p,
+                                  enc_consts)
     rgb_ref[:] = rgb
     sigma_ref[:] = sigma
 
@@ -156,10 +184,12 @@ def _fwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
 # ----------------------------------------------------------------- backward
 
 def _bwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
-    ins = refs[: 5 + n_params]
-    outs = refs[5 + n_params:]
+    n_in = 5 + 6 + n_params
+    ins = refs[:n_in]
+    outs = refs[n_in:]
     pts_ref, dirs_ref, emb_ref, g_rgb_ref, g_sigma_ref = ins[:5]
-    p = [r[:] for r in ins[5:]]
+    enc_consts = [r[:] for r in ins[5:11]]
+    p = [r[:] for r in ins[11:]]
     dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
 
     cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
@@ -168,18 +198,22 @@ def _bwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
 
     # Recompute the tile forward, keeping residuals in VMEM.
     emb = emb_ref[:]
-    _, _, r = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb, p)
+    _, _, r = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb, p, enc_consts)
 
     g_rgb = g_rgb_ref[:]
     g_sigma = g_sigma_ref[:]
 
-    def dotT_a(a, g):  # contribution to dW: a^T @ g
-        return jnp.dot(a.astype(cdt).T, g.astype(cdt),
-                       preferred_element_type=jnp.float32)
+    def dotT_a(a, g):  # contribution to dW: a^T @ g, transpose-free on the MXU
+        return jax.lax.dot_general(
+            a.astype(cdt), g.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    def dot_wT(g, w):  # upstream: g @ w^T
-        return jnp.dot(g.astype(cdt), w.astype(cdt).T,
-                       preferred_element_type=jnp.float32)
+    def dot_wT(g, w):  # upstream: g @ w^T, contracting both trailing dims
+        return jax.lax.dot_general(
+            g.astype(cdt), w.astype(cdt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     grads = [None] * n_params
 
@@ -256,21 +290,29 @@ def _fused_apply(packed, pts, dirs, emb, cfg: NeRFConfig):
     return _fused_fwd_call(packed, pts, dirs, emb, cfg)
 
 
+def _enc_const_args(cfg: NeRFConfig):
+    mp, pp, ip = _encode_consts(cfg.pos_enc_levels)
+    md, pd, idd = _encode_consts(cfg.dir_enc_levels)
+    return [jnp.asarray(a) for a in (mp, pp, ip, md, pd, idd)]
+
+
 def _fused_fwd_call(packed, pts, dirs, emb, cfg: NeRFConfig):
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
     n_tiles = pts.shape[0] // TILE
+    enc_args = _enc_const_args(cfg)
     kernel = functools.partial(_fwd_kernel, cfg, n_params)
     rgb, sigma = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1])]
+        + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(w.shape) for w in packed],
         out_specs=[_tile_spec(3), _tile_spec(1)],
         out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 3), jnp.float32),
                    jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
         interpret=interpret,
-    )(pts, dirs, emb, *packed)
+    )(pts, dirs, emb, *enc_args, *packed)
     return rgb, sigma
 
 
@@ -285,19 +327,21 @@ def _fused_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
     n_tiles = pts.shape[0] // TILE
+    enc_args = _enc_const_args(cfg)
     kernel = functools.partial(_bwd_kernel, cfg, n_params)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1]),
                   _tile_spec(3), _tile_spec(1)]
+        + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(w.shape) for w in packed],
         out_specs=[_const_spec(w.shape) for w in packed]
         + [_tile_spec(emb.shape[-1])],
         out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed]
         + [jax.ShapeDtypeStruct(emb.shape, jnp.float32)],
         interpret=interpret,
-    )(pts, dirs, emb, g_rgb, g_sigma, *packed)
+    )(pts, dirs, emb, g_rgb, g_sigma, *enc_args, *packed)
     dparams, demb = list(outs[:-1]), outs[-1]
     return (dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs), demb)
 
