@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--fog_only", action="store_true")
     e.add_argument("--fps", type=int, default=60)
 
+    # ---- preview (headless replacement for the Tk/moderngl editors) ----
+    pv = sub.add_parser("preview", help="parameter-sweep effect previews")
+    pv.add_argument("--image", type=str, required=True)
+    pv.add_argument("--depth", type=str, default=None)
+    pv.add_argument("--spec", type=str, required=True,
+                    help="JSON spec: {effects: [{name, params?, sweep?}]}")
+    pv.add_argument("--output_dir", type=str, default="previews")
+
     # ---- video (reference create_video.py) ----
     v = sub.add_parser("video", help="encode an image sequence to video")
     v.add_argument("--input_dir", type=str, required=True)
@@ -200,6 +208,13 @@ def cmd_effects(args):
                           skip=args.skip_effects, fps=args.fps)
 
 
+def cmd_preview(args):
+    from danerf_tpu.fx.preview import preview_from_files
+
+    written = preview_from_files(args.image, args.depth, args.spec, args.output_dir)
+    print(f"wrote {len(written)} previews to {args.output_dir}")
+
+
 def cmd_video(args):
     from danerf_tpu.viz.video import create_video_from_images
 
@@ -213,7 +228,8 @@ def cmd_video(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     {"train": cmd_train, "render": cmd_render, "spiral": cmd_spiral,
-     "effects": cmd_effects, "video": cmd_video}[args.cmd](args)
+     "effects": cmd_effects, "video": cmd_video,
+     "preview": cmd_preview}[args.cmd](args)
 
 
 if __name__ == "__main__":

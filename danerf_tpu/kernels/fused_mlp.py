@@ -37,8 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 from danerf_tpu.config import NeRFConfig
 
 # Samples per grid step.  512 keeps fwd+bwd VMEM (params + grads + 8 trunk
-# activations + concat buffers) under ~10 MB of the ~16 MB budget.
-TILE = 512
+# activations + concat buffers) under ~10 MB of the ~16 MB budget; measured:
+# 1024 -> 21 MB and 2048 -> 41 MB both fail Mosaic's scoped-vmem check on v5e.
+# Env-overridable for tuning sweeps (DANERF_PALLAS_TILE).
+import os as _os
+
+TILE = int(_os.environ.get("DANERF_PALLAS_TILE", "512"))
 
 
 # ------------------------------------------------------------------ packing
