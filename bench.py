@@ -41,7 +41,7 @@ def build_pool(n_images: int, height: int, width: int):
 
 
 def bench_train_step(cfg, n_images=20, height=800, width=800,
-                     warmup=10, iters=50):
+                     warmup=10, iters=50, steps_per_call=10):
     import jax
 
     from danerf_tpu.train import create_train_state, make_train_step
@@ -49,7 +49,10 @@ def bench_train_step(cfg, n_images=20, height=800, width=800,
     ds = build_pool(n_images, height, width)
     pool = ds.device_arrays()
     state = create_train_state(jax.random.key(0), cfg, n_images)
-    step = make_train_step(cfg, height, width, ds.focal)
+    # steps_per_call matches the production trainer (scan-chunked steps);
+    # each timed iteration performs that many real optimizer steps.
+    step = make_train_step(cfg, height, width, ds.focal,
+                           steps_per_call=steps_per_call)
 
     for _ in range(warmup):
         state, metrics = step(state, pool)
@@ -63,7 +66,7 @@ def bench_train_step(cfg, n_images=20, height=800, width=800,
     loss = float(metrics["loss"])  # forces the whole chained sequence
     dt = time.perf_counter() - t0
     assert loss == loss, "non-finite loss in bench"
-    return cfg.batch_size * iters / dt
+    return cfg.batch_size * iters * steps_per_call / dt
 
 
 def main():

@@ -43,6 +43,9 @@ from danerf_tpu.config import NeRFConfig
 import os as _os
 
 TILE = int(_os.environ.get("DANERF_PALLAS_TILE", "512"))
+# Forward-only tile: without gradient accumulators or stashed activations the
+# VMEM budget allows 4x larger tiles (better MXU occupancy for rendering).
+FWD_TILE = int(_os.environ.get("DANERF_PALLAS_FWD_TILE", str(TILE * 4)))
 
 
 # ------------------------------------------------------------------ packing
@@ -277,13 +280,15 @@ def _const_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _tile_spec(feat):
-    return pl.BlockSpec((TILE, feat), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _tile_spec(feat, tile=None):
+    t = TILE if tile is None else tile
+    return pl.BlockSpec((t, feat), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _pad_to_tile(x):
+def _pad_to_tile(x, tile=None):
+    t = TILE if tile is None else tile
     n = x.shape[0]
-    pad = (-n) % TILE
+    pad = (-n) % t
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
     return x, n
@@ -303,16 +308,17 @@ def _enc_const_args(cfg: NeRFConfig):
 def _fused_fwd_call(packed, pts, dirs, emb, cfg: NeRFConfig):
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
-    n_tiles = pts.shape[0] // TILE
+    t = FWD_TILE if pts.shape[0] % FWD_TILE == 0 else TILE
+    n_tiles = pts.shape[0] // t
     enc_args = _enc_const_args(cfg)
     kernel = functools.partial(_fwd_kernel, cfg, n_params)
     rgb, sigma = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1])]
+        in_specs=[_tile_spec(3, t), _tile_spec(3, t), _tile_spec(emb.shape[-1], t)]
         + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(w.shape) for w in packed],
-        out_specs=[_tile_spec(3), _tile_spec(1)],
+        out_specs=[_tile_spec(3, t), _tile_spec(1, t)],
         out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 3), jnp.float32),
                    jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
         interpret=interpret,

@@ -85,25 +85,35 @@ def loss_fn(params, cfg: NeRFConfig, key, batch):
 
 
 def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
-                    batch_size: Optional[int] = None):
+                    batch_size: Optional[int] = None, steps_per_call: int = 1):
     """Build the jitted train step.
 
     Returned fn: (state, pool) -> (state, metrics); ``pool`` is the dict from
     RayDataset.device_arrays.  The state is donated.
+
+    steps_per_call > 1 runs that many optimizer steps inside one device
+    program via lax.scan (metrics are from the last step), amortizing the
+    per-dispatch overhead (~1.2 ms over the remote tunnel).
     """
     opt = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pool):
-        k_batch, k_render, k_next = jax.random.split(state.key, 3)
-        batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
-                                 batch_size=batch_size)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, cfg, k_render, batch)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
-        return TrainState(params, opt_state, state.step + 1, k_next), metrics
+        def one_step(state: TrainState, _):
+            k_batch, k_render, k_next = jax.random.split(state.key, 3)
+            batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
+                                     batch_size=batch_size)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, cfg, k_render, batch)
+            updates, opt_state = opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
+            return TrainState(params, opt_state, state.step + 1, k_next), metrics
+
+        if steps_per_call == 1:
+            return one_step(state, None)
+        state, metrics = jax.lax.scan(one_step, state, None, length=steps_per_call)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
     return train_step
 
@@ -112,7 +122,7 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
           resume: bool = False, log_path: Optional[str] = None,
           checkpoint_every: int = 1000, eval_every: int = 0,
           num_iterations: Optional[int] = None, seed: int = 0,
-          mesh=None, progress: bool = True):
+          mesh=None, progress: bool = True, steps_per_call: int = 10):
     """Full training loop (reference ``train_nerf``, src/train.py:13-207).
 
     Returns (state, logger).  With ``mesh``, state/pool are sharded via
@@ -151,18 +161,34 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
                                             tensor_parallel=tp)
     else:
         pool = dataset.device_arrays(cfg.white_background)
-        step_full = make_train_step(cfg, dataset.height, dataset.width, dataset.focal)
+        step_full = make_train_step(cfg, dataset.height, dataset.width,
+                                    dataset.focal, steps_per_call=steps_per_call)
+        step_single = make_train_step(cfg, dataset.height, dataset.width, dataset.focal)
         step_warm = make_train_step(cfg, dataset.height, dataset.width, dataset.focal,
                                     batch_size=min(cfg.warmup_batch_size, cfg.batch_size))
 
     logger = MetricsLogger(log_path)
     t0 = time.time()
     metrics = {}
-    for i in range(start_step + 1, n_iters + 1):
+    i = start_step
+    while i < n_iters:
         # Reference warms up with batch 64 for the first 5 iterations
         # (src/train.py:26,56-58).
-        fn = step_warm if i <= cfg.warmup_iters else step_full
-        state, metrics = fn(state, pool)
+        if i < cfg.warmup_iters:
+            state, metrics = step_warm(state, pool)
+            i += 1
+        else:
+            # advance in scan chunks, never crossing a checkpoint boundary
+            k = min(steps_per_call if mesh is None else 1, n_iters - i)
+            if checkpoint_every:
+                k = min(k, checkpoint_every - i % checkpoint_every)
+            if k == steps_per_call and mesh is None:
+                state, metrics = step_full(state, pool)
+            else:
+                fn = step_single if mesh is None else step_full
+                for _ in range(k):
+                    state, metrics = fn(state, pool)
+            i += k
 
         if i % 10 == 0 or i == n_iters:
             m = {k: float(v) for k, v in metrics.items()}
