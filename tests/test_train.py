@@ -103,6 +103,34 @@ def test_train_loop_with_resume(tmp_path, scene):
     assert int(state2.step) == 12
 
 
+def test_scan_chunked_steps_match_single(scene):
+    """steps_per_call=K must produce bit-identical state evolution to K
+    single steps (same PRNG threading)."""
+    pool = scene.device_arrays()
+    a = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    b = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    single = make_train_step(TINY, scene.height, scene.width, scene.focal)
+    chunk4 = make_train_step(TINY, scene.height, scene.width, scene.focal,
+                             steps_per_call=4)
+    for _ in range(4):
+        a, ma = single(a, pool)
+    b, mb = chunk4(b, pool)
+    assert int(a.step) == int(b.step) == 4
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_train_loop_checkpoint_cadence_with_chunks(tmp_path, scene):
+    """Chunked stepping must still hit exact checkpoint boundaries."""
+    d = str(tmp_path / "ck")
+    train(TINY, scene, save_dir=d, num_iterations=9, checkpoint_every=3,
+          progress=False, steps_per_call=4)
+    for s in (3, 6, 9):
+        assert os.path.exists(os.path.join(d, f"checkpoint_{s:06d}")), s
+
+
 def test_warmup_batch_then_full(scene):
     """First warmup_iters steps use the small batch (src/train.py:26,56-58);
     both step functions must produce a valid state transition."""
