@@ -103,6 +103,23 @@ def test_train_loop_with_resume(tmp_path, scene):
     assert int(state2.step) == 12
 
 
+def test_step_replay_is_exact(scene):
+    """Deterministic PRNG threading: same seed => bit-identical training
+    trajectory (SURVEY.md §5.2 — the replay/race-detection story)."""
+    pool = scene.device_arrays()
+    step = make_train_step(TINY, scene.height, scene.width, scene.focal)
+    runs = []
+    for _ in range(2):
+        st = create_train_state(jax.random.key(7), TINY, scene.n_images)
+        for _ in range(5):
+            st, m = step(st, pool)
+        runs.append((jax.tree_util.tree_map(np.asarray, st.params), float(m["loss"])))
+    assert runs[0][1] == runs[1][1]
+    for x, y in zip(jax.tree_util.tree_leaves(runs[0][0]),
+                    jax.tree_util.tree_leaves(runs[1][0])):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_scan_chunked_steps_match_single(scene):
     """steps_per_call=K must produce bit-identical state evolution to K
     single steps (same PRNG threading)."""
