@@ -48,6 +48,11 @@ class NeRFConfig:
     # --- scene bounds (reference config.py:28-29) ---
     near: float = 2.0
     far: float = 6.0
+    # Optional (xmin, ymin, zmin, xmax, ymax, zmax) scene box: per-ray
+    # [near, far] is tightened to the ray/box overlap (static-shape empty-space
+    # culling — same sample count concentrated where the scene is).  None
+    # reproduces the reference's global bounds exactly.
+    scene_aabb: "tuple | None" = None
 
     # --- loss (new): auxiliary MSE on the coarse pass when the hierarchical
     # fine pass is active.  The reference's loss covers only the final output

@@ -17,6 +17,42 @@ import jax
 import jax.numpy as jnp
 
 
+def ray_aabb_bounds(rays_o, rays_d, aabb_min, aabb_max, near, far):
+    """Tighten per-ray [near, far] to the ray's axis-aligned-box overlap.
+
+    Slab method.  Rays that miss the box collapse to [far, far - eps] ordered
+    as an empty interval clamped back to a degenerate far band, so sample
+    shapes stay static (the TPU-friendly form of empty-space culling; the
+    dynamic-shape pruning of the NerfAcc lineage does not map to XLA).
+
+    Args:
+        rays_o, rays_d: (..., 3); rays_d need not be unit (bounds are in the
+            same parameterization as z_vals: o + d * t).
+        aabb_min, aabb_max: (3,) box corners.
+        near, far: scalar global bounds; output is clamped inside them.
+
+    Returns:
+        t_near, t_far: (..., 1) per-ray bounds, t_near <= t_far.
+    """
+    aabb_min = jnp.asarray(aabb_min, rays_o.dtype)
+    aabb_max = jnp.asarray(aabb_max, rays_o.dtype)
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-10,
+                            jnp.full_like(rays_d, 1e-10), rays_d)
+    t0 = (aabb_min - rays_o) * inv_d
+    t1 = (aabb_max - rays_o) * inv_d
+    t_lo = jnp.minimum(t0, t1)
+    t_hi = jnp.maximum(t0, t1)
+    t_near = jnp.max(t_lo, axis=-1, keepdims=True)
+    t_far = jnp.min(t_hi, axis=-1, keepdims=True)
+    hit = t_far > jnp.maximum(t_near, 0.0)
+    t_near = jnp.clip(t_near, near, far)
+    t_far = jnp.clip(t_far, near, far)
+    # misses: park all samples in a thin band at the far plane
+    t_near = jnp.where(hit, t_near, far - 1e-3)
+    t_far = jnp.where(hit, jnp.maximum(t_far, t_near + 1e-4), far)
+    return t_near, t_far
+
+
 def sample_stratified(key, rays_o, rays_d, near, far, n_samples: int, perturb: bool = True):
     """Sample ``n_samples`` depths per ray in [near, far].
 

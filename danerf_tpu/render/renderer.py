@@ -100,9 +100,17 @@ def render_rays(
 
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
+    near, far = cfg.near, cfg.far
+    if cfg.scene_aabb is not None:
+        from danerf_tpu.ops.sampling import ray_aabb_bounds
+
+        box = cfg.scene_aabb
+        near, far = ray_aabb_bounds(rays_o, rays_d, box[:3], box[3:],
+                                    cfg.near, cfg.far)
+
     k_strat, k_imp = jax.random.split(key)
     z_coarse, pts = sample_stratified(
-        k_strat, rays_o, rays_d, cfg.near, cfg.far, n_samples, perturb=perturb
+        k_strat, rays_o, rays_d, near, far, n_samples, perturb=perturb
     )
     rgb_c, sigma_c = _eval_field(params, cfg, pts, rays_d, appearance_embedding, t)
     coarse = composite(rgb_c, sigma_c, z_coarse, background_color)
