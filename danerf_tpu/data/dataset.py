@@ -125,9 +125,13 @@ def load_dataset(cfg: NeRFConfig, split: str = "train") -> RayDataset:
     import os
 
     from danerf_tpu.data.blender import load_blender_scene
+    from danerf_tpu.data.custom import load_custom_scene
     from danerf_tpu.data.synthetic import make_synthetic_scene
 
     scene_dir = os.path.join(cfg.dataset_path, cfg.scene)
+    if cfg.dataset_type != "nerf_synthetic":
+        return load_custom_scene(cfg.dataset_path, split=split,
+                                 near=cfg.near, far=cfg.far)
     if os.path.exists(os.path.join(scene_dir, f"transforms_{split}.json")):
         return load_blender_scene(scene_dir, split=split, near=cfg.near, far=cfg.far)
     return make_synthetic_scene(split=split, near=cfg.near, far=cfg.far, seed=0)
