@@ -83,6 +83,17 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--fog_only", action="store_true")
     e.add_argument("--fps", type=int, default=60)
 
+    # ---- eval (PSNR/SSIM on a held-out split; new — the reference only
+    #      eyeballs a 1000-ray strip, src/train.py:127-173) ----
+    ev = sub.add_parser("eval", help="render a split and report PSNR/SSIM")
+    ev.add_argument("--scene", type=str, default="lego")
+    ev.add_argument("--dataset_path", type=str, default="data/nerf_synthetic")
+    ev.add_argument("--checkpoint", type=str, default=None)
+    ev.add_argument("--split", type=str, default="val")
+    ev.add_argument("--max_views", type=int, default=None)
+    ev.add_argument("--num_importance", type=int, default=None)
+    ev.add_argument("--out", type=str, default=None, help="write JSON report")
+
     # ---- preview (headless replacement for the Tk/moderngl editors) ----
     pv = sub.add_parser("preview", help="parameter-sweep effect previews")
     pv.add_argument("--image", type=str, required=True)
@@ -116,7 +127,12 @@ def _make_config(args):
 
 
 def _load_checkpoint_params(args, cfg, n_images):
-    """Restore params (+ appearance) for rendering (reference run.py:349-366)."""
+    """Restore params (+ appearance) for rendering (reference run.py:349-366).
+
+    Accepts both this framework's checkpoint directories and the reference's
+    torch ``.pt`` files (converted on the fly — migration path for existing
+    trained models).
+    """
     import jax
 
     from danerf_tpu.train import create_train_state
@@ -129,6 +145,17 @@ def _load_checkpoint_params(args, cfg, n_images):
         if ckpt is None:
             sys.exit(f"No checkpoint found in {default_dir}; pass --checkpoint")
         print(f"Using checkpoint: {ckpt}")
+
+    if ckpt.endswith(".pt"):
+        from danerf_tpu.utils.convert import load_reference_checkpoint
+
+        model, emb_table, meta = load_reference_checkpoint(ckpt, cfg)
+        emb = None
+        if cfg.use_appearance and emb_table is not None:
+            emb = emb_table[0]  # reference uses embedding 0 (run.py:205)
+        print(f"Imported reference checkpoint (iteration {meta.get('iteration')})")
+        return model, emb
+
     template = create_train_state(jax.random.key(0), cfg, n_images)
     state, _ = restore_checkpoint(ckpt, template)
     params = state[0]
@@ -208,6 +235,29 @@ def cmd_effects(args):
                           skip=args.skip_effects, fps=args.fps)
 
 
+def cmd_eval(args):
+    import json
+
+    from danerf_tpu.data import load_dataset
+    from danerf_tpu.train.evaluate import evaluate
+
+    cfg = _make_config(args)
+    ds = load_dataset(cfg, args.split)
+    params, emb = _load_checkpoint_params(args, cfg, ds.n_images)
+    # per-view embeddings when evaluating the training split
+    appearance = None
+    if cfg.use_appearance and emb is not None:
+        import numpy as np
+
+        appearance = np.asarray(emb)[None].repeat(ds.n_images, 0)
+    res = evaluate(params, cfg, ds, appearance=appearance,
+                   max_views=args.max_views, n_importance=args.num_importance)
+    print(json.dumps({k: res[k] for k in ("psnr", "ssim", "mse", "n_views")}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
 def cmd_preview(args):
     from danerf_tpu.fx.preview import preview_from_files
 
@@ -229,7 +279,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     {"train": cmd_train, "render": cmd_render, "spiral": cmd_spiral,
      "effects": cmd_effects, "video": cmd_video,
-     "preview": cmd_preview}[args.cmd](args)
+     "preview": cmd_preview, "eval": cmd_eval}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,6 @@ def _eval_field(params, cfg, pts, rays_d, appearance_embedding, t):
     broadcasting expand dirs/embeddings — XLA folds the broadcast into the
     first matmul instead of materializing expanded copies in HBM.
     """
-    n_samples = pts.shape[-2]
     dirs = jnp.broadcast_to(rays_d[..., None, :], pts.shape)
     emb = None
     if appearance_embedding is not None:
@@ -58,7 +57,6 @@ def _eval_field(params, cfg, pts, rays_d, appearance_embedding, t):
         rgb, sigma = apply(params, pts, dirs, emb, tt)
     else:
         rgb, sigma = nerf_apply(params, cfg, pts, dirs, emb, tt)
-    del n_samples
     return rgb, sigma
 
 

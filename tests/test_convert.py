@@ -107,6 +107,43 @@ def test_convert_rejects_layer_mismatch():
         convert_state_dict(sd, CFG.replace(num_layers=8))
 
 
+def test_cli_render_from_reference_pt(tmp_path, monkeypatch):
+    """CLI render must accept a reference .pt checkpoint directly."""
+    from danerf_tpu.cli import main as cli
+
+    # reference-shape checkpoint for the FULL default config
+    full = NeRFConfig()
+    sd = _reference_style_state_dict(full.replace())
+    # _reference_style_state_dict uses CFG dims; rebuild with full dims
+    sd = {}
+    pdim, ddim = full.pos_enc_dim, full.dir_enc_dim
+    torch.manual_seed(0)
+    in_dim = pdim
+    for i in range(full.num_layers):
+        if i in full.skip_connect_layers and i > 0:
+            in_dim = full.hidden_dim + pdim
+        lin = torch.nn.Linear(in_dim, full.hidden_dim)
+        sd[f"pts_linears.{i}.weight"] = lin.weight.detach()
+        sd[f"pts_linears.{i}.bias"] = lin.bias.detach()
+        in_dim = full.hidden_dim
+    for name, i, o in [("density_head", 256, 1), ("dir_linear", 256 + ddim, 128),
+                       ("appearance_projection", 32, 128), ("rgb_linear", 128, 3)]:
+        lin = torch.nn.Linear(i, o)
+        sd[f"{name}.weight"] = lin.weight.detach()
+        sd[f"{name}.bias"] = lin.bias.detach()
+    ckpt = {"model_state_dict": sd,
+            "appearance_embeddings": torch.randn(3, 32), "iteration": 7}
+    pt_path = str(tmp_path / "checkpoint_final.pt")
+    torch.save(ckpt, pt_path)
+
+    monkeypatch.chdir(tmp_path)
+    cli.main(["render", "--scene", "toy", "--dataset_path", str(tmp_path / "none"),
+              "--checkpoint", pt_path, "--output_dir", str(tmp_path / "out"),
+              "--frames", "1", "--quality", "preview",
+              "--width", "12", "--height", "12"])
+    assert os.path.exists(tmp_path / "out" / "rgb_000.png")
+
+
 def test_custom_dataset_loader(tmp_path):
     """Custom branch: transforms.json above dataset_path, last frame = val
     (src/dataset.py:85-124)."""
