@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel axis size")
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler trace of ~20 steps to this dir")
 
     # ---- render (reference run.py --mode render) ----
     r = sub.add_parser("render", help="render novel views along a camera path")
@@ -182,6 +184,16 @@ def cmd_train(args):
             mesh = make_mesh(data=data, model=args.mesh_model)
             cfg = cfg.replace(mesh_data=data, mesh_model=args.mesh_model)
     save_dir = args.save_dir or f"checkpoints_{args.scene}"
+
+    if args.profile:
+        # Short profiled run before the real one (SURVEY.md §5.1).
+        from danerf_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            train(cfg, ds, save_dir=save_dir, num_iterations=20,
+                  checkpoint_every=0, progress=False)
+        print(f"profiler trace written to {args.profile}")
+
     train(cfg, ds, save_dir=save_dir, resume=args.resume,
           num_iterations=args.iters, seed=args.seed, mesh=mesh,
           log_path=os.path.join(save_dir, "metrics.jsonl"))
