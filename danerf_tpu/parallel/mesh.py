@@ -113,7 +113,8 @@ def replicate_pool(pool, mesh: Mesh):
 
 def make_sharded_train_step(cfg: NeRFConfig, mesh: Mesh, height: int, width: int,
                             focal: float, batch_size: Optional[int] = None,
-                            tensor_parallel: bool = False):
+                            tensor_parallel: bool = False,
+                            steps_per_call: int = 1):
     # tensor_parallel needs no special handling here: the param layout set by
     # shard_train_state propagates through GSPMD; the flag documents intent.
     """Jitted train step with the global batch sharded over the 'data' axis.
@@ -121,34 +122,40 @@ def make_sharded_train_step(cfg: NeRFConfig, mesh: Mesh, height: int, width: int
     The batch tensors are constrained to ``P('data')`` right after sampling, so
     GSPMD shards the entire render + backward over rays and inserts the
     gradient all-reduce against the replicated params (riding ICI).
+    steps_per_call > 1 runs a lax.scan of optimizer steps per dispatch, same
+    semantics as the single-device trainer.
     """
     import optax
 
     from danerf_tpu.data.dataset import sample_ray_batch
+    from danerf_tpu.train.metrics import psnr
     from danerf_tpu.train.trainer import TrainState, loss_fn, make_optimizer
 
     opt = make_optimizer(cfg)
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def constrain(batch):
-        out = {}
-        for k, v in batch.items():
-            out[k] = jax.lax.with_sharding_constraint(v, batch_sharding)
-        return out
+        return {k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()}
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pool):
-        k_batch, k_render, k_next = jax.random.split(state.key, 3)
-        batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
-                                 batch_size=batch_size)
-        batch = constrain(batch)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, cfg, k_render, batch)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        from danerf_tpu.train.metrics import psnr
-        metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
-        return TrainState(params, opt_state, state.step + 1, k_next), metrics
+        def one_step(state: TrainState, _):
+            k_batch, k_render, k_next = jax.random.split(state.key, 3)
+            batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
+                                     batch_size=batch_size)
+            batch = constrain(batch)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, cfg, k_render, batch)
+            updates, opt_state = opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
+            return TrainState(params, opt_state, state.step + 1, k_next), metrics
+
+        if steps_per_call == 1:
+            return one_step(state, None)
+        state, metrics = jax.lax.scan(one_step, state, None, length=steps_per_call)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
     return train_step
 

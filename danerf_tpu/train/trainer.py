@@ -120,7 +120,7 @@ def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
 
 def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
           resume: bool = False, log_path: Optional[str] = None,
-          checkpoint_every: int = 1000, eval_every: int = 0,
+          checkpoint_every: int = 1000, eval_every: int = 1,
           num_iterations: Optional[int] = None, seed: int = 0,
           mesh=None, progress: bool = True, steps_per_call: int = 10):
     """Full training loop (reference ``train_nerf``, src/train.py:13-207).
@@ -201,8 +201,69 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
         if checkpoint_every and i % checkpoint_every == 0:
             save_checkpoint(save_dir, f"checkpoint_{i:06d}", state,
                             {"step": i, **{k: float(v) for k, v in metrics.items()}})
+            if eval_every:
+                _save_validation_render(state, cfg, dataset, save_dir, i)
 
     save_checkpoint(save_dir, "checkpoint_final", state,
                     {"step": n_iters, **{k: float(v) for k, v in metrics.items()}})
+    _save_training_curves(logger, save_dir)
     logger.close()
     return state, logger
+
+
+def _save_validation_render(state, cfg, dataset, save_dir, step,
+                            max_size: int = 128):
+    """Periodic validation render (reference src/train.py:127-173 renders a
+    1000-ray strip; here it's a full low-res view of the last image)."""
+    import os
+
+    import numpy as np
+
+    from danerf_tpu.render.renderer import render_frame
+    from danerf_tpu.viz.depth import colorize_depth
+
+    try:
+        from PIL import Image
+
+        scale = max(1, max(dataset.height, dataset.width) // max_size)
+        h, w = dataset.height // scale, dataset.width // scale
+        params = state.params
+        emb = None
+        if cfg.use_appearance and "appearance" in params:
+            emb = params["appearance"][dataset.n_images - 1]
+        rgb, depth, _ = render_frame(
+            params["model"], cfg, jax.random.key(0), dataset.c2ws[-1],
+            h, w, dataset.focal / scale, appearance_embedding=emb,
+            n_importance=0, perturb=False)
+        rgb_u8 = np.clip(np.asarray(rgb) * 255, 0, 255).astype(np.uint8)
+        strip = np.concatenate([rgb_u8, colorize_depth(np.asarray(depth))], axis=1)
+        Image.fromarray(strip).save(os.path.join(save_dir, f"render_{step:06d}.png"))
+    except Exception as e:  # eval renders must never kill training
+        print(f"validation render failed at step {step}: {e}")
+
+
+def _save_training_curves(logger: MetricsLogger, save_dir: str):
+    """Loss/PSNR curves (reference src/train.py:189-204)."""
+    import os
+
+    if not logger.history:
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        steps = [r["step"] for r in logger.history]
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        axes[0].plot(steps, [r.get("loss") for r in logger.history])
+        axes[0].set_title("Training Loss")
+        axes[0].set_xlabel("Iteration")
+        axes[1].plot(steps, [r.get("psnr") for r in logger.history])
+        axes[1].set_title("Training PSNR")
+        axes[1].set_xlabel("Iteration")
+        fig.tight_layout()
+        fig.savefig(os.path.join(save_dir, "training_curves.png"))
+        plt.close(fig)
+    except Exception as e:
+        print(f"training-curve plot failed: {e}")

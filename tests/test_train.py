@@ -96,6 +96,9 @@ def test_train_loop_with_resume(tmp_path, scene):
     assert int(state1.step) == 8
     assert os.path.exists(os.path.join(d, "checkpoint_000008"))
     assert os.path.exists(os.path.join(d, "checkpoint_final"))
+    # periodic validation strip + final curves (reference src/train.py:127-204)
+    assert os.path.exists(os.path.join(d, "render_000004.png"))
+    assert os.path.exists(os.path.join(d, "training_curves.png"))
 
     # resume continues from the final checkpoint's step
     state2, _ = train(TINY, scene, save_dir=d, num_iterations=12, resume=True,
