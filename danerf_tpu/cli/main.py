@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--profile", type=str, default=None,
                    help="capture a jax.profiler trace of ~20 steps to this dir")
+    t.add_argument("--no_pallas", action="store_true",
+                   help="disable the fused Pallas kernel (on by default on TPU)")
 
     # ---- render (reference run.py --mode render) ----
     r = sub.add_parser("render", help="render novel views along a camera path")
@@ -168,10 +170,16 @@ def _load_checkpoint_params(args, cfg, n_images):
 
 
 def cmd_train(args):
+    import jax
+
     from danerf_tpu.data import load_dataset
     from danerf_tpu.train import train
 
     cfg = _make_config(args)
+    # fused kernel by default on real TPU (fastest measured path); CPU keeps
+    # the XLA path (pallas would run interpreted there)
+    if jax.default_backend() == "tpu" and not args.no_pallas:
+        cfg = cfg.replace(use_pallas=True)
     ds = load_dataset(cfg, "train")
     mesh = None
     if args.mesh_data != 1 or args.mesh_model != 1:

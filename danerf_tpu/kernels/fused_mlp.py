@@ -308,7 +308,10 @@ def _enc_const_args(cfg: NeRFConfig):
 def _fused_fwd_call(packed, pts, dirs, emb, cfg: NeRFConfig):
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
-    t = FWD_TILE if pts.shape[0] % FWD_TILE == 0 else TILE
+    # fp32 activations need 2x the VMEM of bf16: cap the fwd tile accordingly
+    # (measured: fp32 @ 2048 -> 21.4 MB scoped vmem, over the 16 MB limit).
+    max_t = FWD_TILE if cfg.use_bf16 else min(FWD_TILE, 2 * TILE)
+    t = max_t if pts.shape[0] % max_t == 0 else TILE
     n_tiles = pts.shape[0] // t
     enc_args = _enc_const_args(cfg)
     kernel = functools.partial(_fwd_kernel, cfg, n_params)
