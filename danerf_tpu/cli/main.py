@@ -62,6 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--raw_output", action="store_true")
     r.add_argument("--create_video", action="store_true")
     r.add_argument("--fps", type=int, default=30)
+    r.add_argument("--no_pallas", action="store_true")
 
     # ---- spiral (reference render_aligned_spiral.py) ----
     s = sub.add_parser("spiral", help="aligned spiral render + video")
@@ -76,6 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["x", "y", "z", "none"])
     s.add_argument("--width", type=int, default=800)
     s.add_argument("--height", type=int, default=800)
+    s.add_argument("--no_pallas", action="store_true")
 
     # ---- effects (reference apply_all_shaders.py) ----
     e = sub.add_parser("effects", help="apply effects to rendered frames")
@@ -97,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--max_views", type=int, default=None)
     ev.add_argument("--num_importance", type=int, default=None)
     ev.add_argument("--out", type=str, default=None, help="write JSON report")
+    ev.add_argument("--no_pallas", action="store_true")
 
     # ---- preview (headless replacement for the Tk/moderngl editors) ----
     pv = sub.add_parser("preview", help="parameter-sweep effect previews")
@@ -117,6 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _make_config(args):
+    import jax
+
     from danerf_tpu.config import NeRFConfig
 
     cfg = NeRFConfig(scene=args.scene, dataset_path=args.dataset_path)
@@ -127,6 +132,10 @@ def _make_config(args):
         over["use_appearance"] = False
     if getattr(args, "num_importance", None) is not None:
         over["num_importance"] = args.num_importance
+    # fused kernel by default on real TPU (fastest path, 20x faster compiles);
+    # CPU keeps XLA (pallas would run interpreted there)
+    if jax.default_backend() == "tpu" and not getattr(args, "no_pallas", False):
+        over["use_pallas"] = True
     return cfg.replace(**over) if over else cfg
 
 
@@ -170,16 +179,10 @@ def _load_checkpoint_params(args, cfg, n_images):
 
 
 def cmd_train(args):
-    import jax
-
     from danerf_tpu.data import load_dataset
     from danerf_tpu.train import train
 
     cfg = _make_config(args)
-    # fused kernel by default on real TPU (fastest measured path); CPU keeps
-    # the XLA path (pallas would run interpreted there)
-    if jax.default_backend() == "tpu" and not args.no_pallas:
-        cfg = cfg.replace(use_pallas=True)
     ds = load_dataset(cfg, "train")
     mesh = None
     if args.mesh_data != 1 or args.mesh_model != 1:

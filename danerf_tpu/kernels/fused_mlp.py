@@ -26,6 +26,7 @@ Weights live in fp32; matmuls run in bf16 with fp32 accumulation when
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -40,12 +41,10 @@ from danerf_tpu.config import NeRFConfig
 # activations + concat buffers) under ~10 MB of the ~16 MB budget; measured:
 # 1024 -> 21 MB and 2048 -> 41 MB both fail Mosaic's scoped-vmem check on v5e.
 # Env-overridable for tuning sweeps (DANERF_PALLAS_TILE).
-import os as _os
-
-TILE = int(_os.environ.get("DANERF_PALLAS_TILE", "512"))
+TILE = int(os.environ.get("DANERF_PALLAS_TILE", "512"))
 # Forward-only tile: without gradient accumulators or stashed activations the
 # VMEM budget allows 4x larger tiles (better MXU occupancy for rendering).
-FWD_TILE = int(_os.environ.get("DANERF_PALLAS_FWD_TILE", str(TILE * 4)))
+FWD_TILE = int(os.environ.get("DANERF_PALLAS_FWD_TILE", str(TILE * 4)))
 
 
 # ------------------------------------------------------------------ packing
