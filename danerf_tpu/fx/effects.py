@@ -293,6 +293,8 @@ def apply_effect(name: str, image, depth=None, params: Optional[dict] = None,
         p.update(params)
     img = jnp.asarray(image).astype(jnp.float32)
     dep = None if depth is None else jnp.asarray(depth).astype(jnp.float32)
+    if dep is not None and dep.ndim == 3:  # (H, W, 1) buffers, like the
+        dep = dep[..., 0]                  # reference (post_processor.py:474-475)
     if key is None:
         key = jax.random.key(0)
 

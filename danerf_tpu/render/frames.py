@@ -18,7 +18,7 @@ import numpy as np
 
 from danerf_tpu.config import RENDER_PRESETS, NeRFConfig
 from danerf_tpu.render.renderer import render_frame
-from danerf_tpu.viz.depth import colorize_depth, depth_to_gray_u8, normalize_depth
+from danerf_tpu.viz.depth import colorize_depth, depth_to_gray_u8
 from danerf_tpu.viz.paths import aligned_spiral_path, camera_path
 
 
@@ -72,24 +72,29 @@ def render_path(params, cfg: NeRFConfig, output_dir: str,
             appearance_embedding=appearance_embedding,
             n_samples=n_samples, n_importance=n_importance, perturb=perturb)
 
-        depth_np = np.asarray(depth)
+        import jax.numpy as jnp
+
         if raw_output or save_depth:
             raw_dir = os.path.join(output_dir, "raw")
             os.makedirs(raw_dir, exist_ok=True)
-        rgb_u8 = np.asarray((rgb * 255).astype(np.uint8) if rgb.dtype != np.uint8 else rgb)
-        rgb_u8 = np.clip(rgb_u8, 0, 255).astype(np.uint8)
-        if raw_output:
-            _save_png(rgb_u8, os.path.join(raw_dir, f"rgb_{frame_idx:03d}.png"))
-        if save_depth:
-            np.save(os.path.join(raw_dir, f"depth_{frame_idx:03d}.npy"), depth_np)
+        # quantize on device; the effect below also runs on device so the
+        # rgb/depth buffers never round-trip the host in between
+        rgb_dev = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
 
         if effect is not None and not raw_output:
             from danerf_tpu.fx import apply_effect
 
-            depth_norm = normalize_depth(depth_np)
-            rgb_u8 = np.asarray(apply_effect(effect, rgb_u8, depth_norm,
-                                             effect_params,
-                                             key=jax.random.fold_in(key, 10_000 + i)))
+            dmin, dmax = depth.min(), depth.max()
+            depth_norm = (depth - dmin) / (dmax - dmin + 1e-6)  # run.py:249
+            rgb_dev = apply_effect(effect, rgb_dev, depth_norm, effect_params,
+                                   key=jax.random.fold_in(key, 10_000 + i))
+
+        rgb_u8 = np.asarray(rgb_dev)
+        depth_np = np.asarray(depth)
+        if raw_output:
+            _save_png(rgb_u8, os.path.join(raw_dir, f"rgb_{frame_idx:03d}.png"))
+        if save_depth:
+            np.save(os.path.join(raw_dir, f"depth_{frame_idx:03d}.npy"), depth_np)
 
         out_path = os.path.join(output_dir, frame_name.format(frame_idx))
         _save_png(rgb_u8, out_path)
