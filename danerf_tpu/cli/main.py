@@ -179,10 +179,31 @@ def _load_checkpoint_params(args, cfg, n_images):
 
 
 def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
     from danerf_tpu.data import load_dataset
+    from danerf_tpu.models import init_nerf_params, nerf_apply
     from danerf_tpu.train import train
 
     cfg = _make_config(args)
+
+    # Startup smoke test before committing to training (reference
+    # run.py:327-344): 10 random points through the model, with and without
+    # an appearance embedding.
+    params = init_nerf_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (10, 3))
+    d = jax.random.normal(jax.random.key(2), (10, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rgb, sigma = nerf_apply(params, cfg, x, d)
+    assert rgb.shape == (10, 3) and sigma.shape == (10,)
+    if cfg.use_appearance:
+        emb = jax.random.normal(jax.random.key(3), (10, cfg.appearance_dim))
+        rgb, sigma = nerf_apply(params, cfg, x, d, emb)
+        assert rgb.shape == (10, 3)
+    print(f"model smoke test passed: rgb={rgb.shape}, sigma={sigma.shape}")
+    del params
+
     ds = load_dataset(cfg, "train")
     mesh = None
     if args.mesh_data != 1 or args.mesh_model != 1:
