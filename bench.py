@@ -74,14 +74,12 @@ def main():
 
     # Flagship config: reference defaults (config.py:10-21), coarse-only like
     # the reference's live train path (its fine pass is stubbed, SURVEY.md §1).
-    # Pallas fused kernel, single-step dispatch: same-process A/B at the
-    # reference's 1024-ray batch gave pallas/spc=1 114k ~ xla/spc=10 110k >
-    # xla/spc=1 93k rays/s, and wrapping the pallas custom VJP in lax.scan
-    # blows up remote AOT compile time — so the driver-facing bench uses the
-    # kernel without scan chunking.  (At >=4096-ray batches the kernel wins
-    # outright: 252k vs 152k rays/s.)
+    # Pallas fused kernel with fori_loop-chunked steps — the production
+    # trainer's path (lax.scan around the custom VJP stalls the remote AOT
+    # compiler; fori_loop compiles in ~90s and measured 329k rays/s vs ~114k
+    # dispatched singly at the reference's 1024-ray batch).
     cfg = NeRFConfig(num_importance=0, use_bf16=True, use_pallas=True)
-    rays_per_sec = bench_train_step(cfg, iters=40, steps_per_call=1)
+    rays_per_sec = bench_train_step(cfg, iters=20, steps_per_call=10)
 
     result = {
         "metric": "train_rays_per_sec_per_chip",

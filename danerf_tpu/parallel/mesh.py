@@ -140,7 +140,7 @@ def make_sharded_train_step(cfg: NeRFConfig, mesh: Mesh, height: int, width: int
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pool):
-        def one_step(state: TrainState, _):
+        def one_step(state: TrainState):
             k_batch, k_render, k_next = jax.random.split(state.key, 3)
             batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
                                      batch_size=batch_size)
@@ -152,10 +152,14 @@ def make_sharded_train_step(cfg: NeRFConfig, mesh: Mesh, height: int, width: int
             metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
             return TrainState(params, opt_state, state.step + 1, k_next), metrics
 
-        if steps_per_call == 1:
-            return one_step(state, None)
-        state, metrics = jax.lax.scan(one_step, state, None, length=steps_per_call)
-        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        # fori_loop, not scan — see make_train_step for the compile rationale.
+        state, metrics = one_step(state)
+        if steps_per_call > 1:
+            state, metrics = jax.lax.fori_loop(
+                0, steps_per_call - 1,
+                lambda i, carry: one_step(carry[0]),
+                (state, metrics))
+        return state, metrics
 
     return train_step
 

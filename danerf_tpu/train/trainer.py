@@ -92,14 +92,17 @@ def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
     RayDataset.device_arrays.  The state is donated.
 
     steps_per_call > 1 runs that many optimizer steps inside one device
-    program via lax.scan (metrics are from the last step), amortizing the
-    per-dispatch overhead (~1.2 ms over the remote tunnel).
+    program (metrics are from the last step), amortizing the per-dispatch
+    overhead.  The loop is a lax.fori_loop, NOT lax.scan: scan's stacked
+    outputs stall the remote AOT compiler when the body contains the Pallas
+    custom VJP (>12 min at length 10), while the fori form compiles in ~90 s
+    and runs 3.1 ms/step (329k rays/s) vs ~9 ms dispatched singly.
     """
     opt = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pool):
-        def one_step(state: TrainState, _):
+        def one_step(state: TrainState):
             k_batch, k_render, k_next = jax.random.split(state.key, 3)
             batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
                                      batch_size=batch_size)
@@ -110,10 +113,13 @@ def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
             metrics = {"loss": loss, "psnr": psnr(aux["mse"]), **aux}
             return TrainState(params, opt_state, state.step + 1, k_next), metrics
 
-        if steps_per_call == 1:
-            return one_step(state, None)
-        state, metrics = jax.lax.scan(one_step, state, None, length=steps_per_call)
-        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        state, metrics = one_step(state)
+        if steps_per_call > 1:
+            state, metrics = jax.lax.fori_loop(
+                0, steps_per_call - 1,
+                lambda i, carry: one_step(carry[0]),
+                (state, metrics))
+        return state, metrics
 
     return train_step
 
