@@ -287,7 +287,12 @@ def apply_effect(name: str, image, depth=None, params: Optional[dict] = None,
     for reproducibility).  Returns uint8 (H, W, 3).
     """
     if name not in EFFECTS:
-        raise KeyError(f"unknown effect {name!r}; options: {list(EFFECTS)}")
+        # Accept slug forms ("fog", "toon_shader", "neon-glow") for the CLI.
+        slug = name.lower().replace("_", " ").replace("-", " ")
+        match = next((k for k in EFFECTS if k.lower() == slug), None)
+        if match is None:
+            raise KeyError(f"unknown effect {name!r}; options: {list(EFFECTS)}")
+        name = match
     p = default_params()
     if params:
         p.update(params)

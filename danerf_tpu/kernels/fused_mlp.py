@@ -131,17 +131,22 @@ def _encode(x, M, phase, is_input):
     return jnp.where(is_input > 0, y, jnp.sin(y + phase))
 
 
-def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts):
+def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts, t=None):
     """Shared fwd math on one tile; returns (rgb, sigma, residual activations).
 
-    p: list of param arrays in pack_params order.  enc_consts: the 6 encoding
-    constant arrays (pos M/phase/mask, dir M/phase/mask).  Residuals are only
-    consumed by the in-kernel backward (they stay in VMEM / registers).
+    p: list of param arrays in pack_params order.  enc_consts: the encoding
+    constant arrays (pos M/phase/mask, dir M/phase/mask, and time M/phase/mask
+    when ``t`` is given).  Residuals are only consumed by the in-kernel
+    backward (they stay in VMEM / registers).
     """
     cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     n_layers = cfg.num_layers
     enc_x = _encode(pts, *enc_consts[:3])
-    enc_d = _encode(dirs, *enc_consts[3:])
+    enc_d = _encode(dirs, *enc_consts[3:6])
+    if t is not None:
+        # AnimatedNeRF (reference src/models.py:228-234): encoded time is
+        # concatenated to the encoded position at the input and every skip.
+        enc_x = jnp.concatenate([enc_x, _encode(t, *enc_consts[6:9])], axis=-1)
 
     hs = []      # post-relu trunk activations
     ins = []     # layer inputs (possibly concat with enc_x)
@@ -174,28 +179,35 @@ def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts):
     return rgb, sigma, res
 
 
-def _fwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
-    n_in = 3 + 6 + n_params
+def _fwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
+    n_data = 4 if has_time else 3
+    n_enc = 9 if has_time else 6
+    n_in = n_data + n_enc + n_params
     ins, outs = refs[:n_in], refs[n_in:]
     pts_ref, dirs_ref, emb_ref = ins[:3]
-    enc_consts = [r[:] for r in ins[3:9]]
-    p = [r[:] for r in ins[9:]]
+    t = ins[3][:] if has_time else None
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
     rgb_ref, sigma_ref = outs
     rgb, sigma, _ = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb_ref[:], p,
-                                  enc_consts)
+                                  enc_consts, t=t)
     rgb_ref[:] = rgb
     sigma_ref[:] = sigma
 
 
 # ----------------------------------------------------------------- backward
 
-def _bwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
-    n_in = 5 + 6 + n_params
+def _bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
+    n_data = 6 if has_time else 5
+    n_enc = 9 if has_time else 6
+    n_in = n_data + n_enc + n_params
     ins = refs[:n_in]
     outs = refs[n_in:]
-    pts_ref, dirs_ref, emb_ref, g_rgb_ref, g_sigma_ref = ins[:5]
-    enc_consts = [r[:] for r in ins[5:11]]
-    p = [r[:] for r in ins[11:]]
+    pts_ref, dirs_ref, emb_ref = ins[:3]
+    t = ins[3][:] if has_time else None
+    g_rgb_ref, g_sigma_ref = ins[n_data - 2:n_data]
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
     dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
 
     cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
@@ -204,7 +216,7 @@ def _bwd_kernel(cfg: NeRFConfig, n_params: int, *refs):
 
     # Recompute the tile forward, keeping residuals in VMEM.
     emb = emb_ref[:]
-    _, _, r = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb, p, enc_consts)
+    _, _, r = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb, p, enc_consts, t=t)
 
     g_rgb = g_rgb_ref[:]
     g_sigma = g_sigma_ref[:]
@@ -293,59 +305,73 @@ def _pad_to_tile(x, tile=None):
     return x, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_apply(packed, pts, dirs, emb, cfg: NeRFConfig):
-    return _fused_fwd_call(packed, pts, dirs, emb, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_apply(packed, pts, dirs, emb, t, cfg: NeRFConfig):
+    return _fused_fwd_call(packed, pts, dirs, emb, t, cfg)
 
 
-def _enc_const_args(cfg: NeRFConfig):
+def _enc_const_args(cfg: NeRFConfig, has_time: bool):
     mp, pp, ip = _encode_consts(cfg.pos_enc_levels)
     md, pd, idd = _encode_consts(cfg.dir_enc_levels)
-    return [jnp.asarray(a) for a in (mp, pp, ip, md, pd, idd)]
+    out = [mp, pp, ip, md, pd, idd]
+    if has_time:
+        out += list(_encode_consts(cfg.time_enc_levels, dim=1))
+    return [jnp.asarray(a) for a in out]
 
 
-def _fused_fwd_call(packed, pts, dirs, emb, cfg: NeRFConfig):
+def _fused_fwd_call(packed, pts, dirs, emb, t, cfg: NeRFConfig):
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
+    has_time = t is not None
     # fp32 activations need 2x the VMEM of bf16: cap the fwd tile accordingly
     # (measured: fp32 @ 2048 -> 21.4 MB scoped vmem, over the 16 MB limit).
     max_t = FWD_TILE if cfg.use_bf16 else min(FWD_TILE, 2 * TILE)
-    t = max_t if pts.shape[0] % max_t == 0 else TILE
-    n_tiles = pts.shape[0] // t
-    enc_args = _enc_const_args(cfg)
-    kernel = functools.partial(_fwd_kernel, cfg, n_params)
+    tile = max_t if pts.shape[0] % max_t == 0 else TILE
+    n_tiles = pts.shape[0] // tile
+    enc_args = _enc_const_args(cfg, has_time)
+    kernel = functools.partial(_fwd_kernel, cfg, n_params, has_time)
+    data = [pts, dirs, emb] + ([t] if has_time else [])
+    data_specs = [_tile_spec(3, tile), _tile_spec(3, tile),
+                  _tile_spec(emb.shape[-1], tile)]
+    if has_time:
+        data_specs.append(_tile_spec(1, tile))
     rgb, sigma = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[_tile_spec(3, t), _tile_spec(3, t), _tile_spec(emb.shape[-1], t)]
+        in_specs=data_specs
         + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(w.shape) for w in packed],
-        out_specs=[_tile_spec(3, t), _tile_spec(1, t)],
+        out_specs=[_tile_spec(3, tile), _tile_spec(1, tile)],
         out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 3), jnp.float32),
                    jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
         interpret=interpret,
-    )(pts, dirs, emb, *enc_args, *packed)
+    )(*data, *enc_args, *packed)
     return rgb, sigma
 
 
-def _fused_vjp_fwd(packed, pts, dirs, emb, cfg: NeRFConfig):
-    out = _fused_fwd_call(packed, pts, dirs, emb, cfg)
-    return out, (packed, pts, dirs, emb)
+def _fused_vjp_fwd(packed, pts, dirs, emb, t, cfg: NeRFConfig):
+    out = _fused_fwd_call(packed, pts, dirs, emb, t, cfg)
+    return out, (packed, pts, dirs, emb, t)
 
 
 def _fused_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
-    packed, pts, dirs, emb = residuals
+    packed, pts, dirs, emb, t = residuals
     g_rgb, g_sigma = cotangents
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
+    has_time = t is not None
     n_tiles = pts.shape[0] // TILE
-    enc_args = _enc_const_args(cfg)
-    kernel = functools.partial(_bwd_kernel, cfg, n_params)
+    enc_args = _enc_const_args(cfg, has_time)
+    kernel = functools.partial(_bwd_kernel, cfg, n_params, has_time)
+    data = [pts, dirs, emb] + ([t] if has_time else []) + [g_rgb, g_sigma]
+    data_specs = [_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1])]
+    if has_time:
+        data_specs.append(_tile_spec(1))
+    data_specs += [_tile_spec(3), _tile_spec(1)]
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1]),
-                  _tile_spec(3), _tile_spec(1)]
+        in_specs=data_specs
         + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(w.shape) for w in packed],
         out_specs=[_const_spec(w.shape) for w in packed]
@@ -353,23 +379,26 @@ def _fused_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
         out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed]
         + [jax.ShapeDtypeStruct(emb.shape, jnp.float32)],
         interpret=interpret,
-    )(pts, dirs, emb, g_rgb, g_sigma, *enc_args, *packed)
+    )(*data, *enc_args, *packed)
     dparams, demb = list(outs[:-1]), outs[-1]
-    return (dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs), demb)
+    dt = jnp.zeros_like(t) if has_time else None
+    return (dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs), demb, dt)
 
 
 _fused_apply.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
-def fused_nerf_apply(params: dict, cfg: NeRFConfig, x, d, appearance_embedding=None):
+def fused_nerf_apply(params: dict, cfg: NeRFConfig, x, d,
+                     appearance_embedding=None, t=None):
     """Drop-in replacement for models.nerf.nerf_apply on flattened inputs.
 
-    x, d: (..., 3); appearance_embedding: (..., app_dim) or None.
+    x, d: (..., 3); appearance_embedding: (..., app_dim) or None;
+    t: (..., 1) time in [0, 1] when ``cfg.use_time`` (AnimatedNeRF variant,
+    reference src/models.py:165-265).
     Returns rgb (..., 3), sigma (...,).
     """
-    if cfg.use_time:
-        raise NotImplementedError("fused kernel does not support use_time yet; "
-                                  "use models.nerf.nerf_apply")
+    if cfg.use_time and t is None:
+        raise ValueError("cfg.use_time=True requires a time input t")
     lead = x.shape[:-1]
     xf = x.reshape(-1, 3).astype(jnp.float32)
     df = jnp.broadcast_to(d, x.shape).reshape(-1, 3).astype(jnp.float32)
@@ -383,6 +412,10 @@ def fused_nerf_apply(params: dict, cfg: NeRFConfig, x, d, appearance_embedding=N
     xf, n = _pad_to_tile(xf)
     df, _ = _pad_to_tile(df)
     ef, _ = _pad_to_tile(ef)
+    tf = None
+    if cfg.use_time:
+        tf = jnp.broadcast_to(t, lead + (1,)).reshape(-1, 1).astype(jnp.float32)
+        tf, _ = _pad_to_tile(tf)
 
     packed = pack_params(params, cfg)
     if appearance_embedding is None:
@@ -391,7 +424,7 @@ def fused_nerf_apply(params: dict, cfg: NeRFConfig, x, d, appearance_embedding=N
         i_app = 2 * cfg.num_layers + 4
         packed[i_app] = jnp.zeros_like(packed[i_app])
         packed[i_app + 1] = jnp.zeros_like(packed[i_app + 1])
-    rgb, sigma = _fused_apply(packed, xf, df, ef, cfg)
+    rgb, sigma = _fused_apply(packed, xf, df, ef, tf, cfg)
     rgb = rgb[:n].reshape(*lead, 3)
     sigma = sigma[:n, 0].reshape(lead)
     return rgb, sigma

@@ -46,10 +46,10 @@ def _eval_field(params, cfg, pts, rays_d, appearance_embedding, t):
     tt = None
     if t is not None:
         tt = jnp.broadcast_to(t[..., None, :], pts.shape[:-1] + (t.shape[-1],))
-    if cfg.use_pallas and t is None:
+    if cfg.use_pallas:
         from danerf_tpu.kernels import fused_nerf_apply
 
-        rgb, sigma = fused_nerf_apply(params, cfg, pts, dirs, emb)
+        rgb, sigma = fused_nerf_apply(params, cfg, pts, dirs, emb, tt)
     elif cfg.remat:
         apply = jax.checkpoint(
             lambda p, a, b, c, dd: nerf_apply(p, cfg, a, b, c, dd),

@@ -66,7 +66,8 @@ def test_sample_ray_batch_rgb_matches_pixels(scene):
     _, d_grid = generate_rays(scene.height, scene.width, scene.focal,
                               jnp.asarray(scene.c2ws[img_idx]))
     d_grid = np.asarray(d_grid).reshape(-1, 3)
-    imgs = np.asarray(pool["images"][img_idx]).reshape(-1, 3)
+    hw = scene.height * scene.width
+    imgs = np.asarray(pool["images"][img_idx * hw:(img_idx + 1) * hw])
     for k in range(0, 64, 16):
         dk = np.asarray(b["rays_d"][k])
         pix = np.argmax(d_grid @ dk)
@@ -85,7 +86,7 @@ def test_white_background_compositing(scene):
     white = scene.device_arrays(white_background=True)
     # empty-alpha pixels become white
     a = scene.alphas.astype(np.float32) / 255.0
-    mask = a < 0.01
+    mask = (a < 0.01).reshape(-1)
     w = np.asarray(white["images"])
     assert np.all(w[mask] > 0.98)
     assert not np.allclose(np.asarray(plain["images"]), w)
