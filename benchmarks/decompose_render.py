@@ -73,11 +73,11 @@ def main():
 
     renderer.combine_z = combine_nosort
     try:
-        renderer._render_frame_jit._clear_cache()
+        renderer._render_frame_jit.clear_cache()
         timeit("hier_nosort", lambda: frame(64, 64))
     finally:
         renderer.combine_z = orig
-        renderer._render_frame_jit._clear_cache()
+        renderer._render_frame_jit.clear_cache()
 
 
 if __name__ == "__main__":

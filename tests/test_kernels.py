@@ -132,3 +132,92 @@ def test_fused_time_variant_matches_xla():
     # on the boundary, shifting isolated gradient entries by ~1e-4.
     for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def _rays(n, cfg, seed=1):
+    ko, kd, ke = jax.random.split(jax.random.key(seed), 3)
+    rays_o = jax.random.normal(ko, (n, 3)) * 0.1 + jnp.asarray([0.0, 0.0, 4.0])
+    rays_d = jax.random.normal(kd, (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    emb = jax.random.normal(ke, (n, cfg.appearance_dim))
+    return rays_o, rays_d, emb
+
+
+def test_fused_render_matches_core():
+    """The fully-fused ray-march kernel (kernels/fused_render.py) must match
+    the core sample->eval->composite path, including the background-color
+    composite."""
+    from danerf_tpu.render.renderer import render_rays
+
+    cfg = SMALL
+    params = init_nerf_params(jax.random.key(0), cfg)
+    rays_o, rays_d, emb = _rays(24, cfg)
+    key = jax.random.key(7)
+    kwargs = dict(n_samples=16, n_importance=0, perturb=True,
+                  background_color=jnp.asarray([1.0, 1.0, 1.0]))
+
+    ref = render_rays(params, cfg, key, rays_o, rays_d, emb, **kwargs)
+    out = render_rays(params, cfg, key, rays_o, rays_d, emb,
+                      fused_composite=True, **kwargs)
+    for k in ("rgb", "depth", "acc", "weights", "z_vals"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=3e-5, atol=3e-5,
+                                   err_msg=k)
+
+
+def test_fused_render_fine_pass_shape():
+    """Hierarchical fine-pass parity on IDENTICAL combined z (end-to-end hier
+    comparisons are only statistically close: fp noise in coarse weights
+    discretely shifts the inverse-CDF sample positions).  Here a sorted
+    non-uniform S=24 depth vector — the fine pass shape — must composite
+    identically through the fused kernel and the core path."""
+    from danerf_tpu.models import nerf_apply
+    from danerf_tpu.ops.composite import composite
+
+    cfg = SMALL
+    params = init_nerf_params(jax.random.key(0), cfg)
+    R, S = 24, 24
+    rays_o, rays_d, emb = _rays(R, cfg)
+    z = jnp.sort(jax.random.uniform(jax.random.key(11), (R, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    e = jnp.broadcast_to(emb[:, None, :], (R, S, cfg.appearance_dim))
+    rgb_s, sig_s = nerf_apply(params, cfg, pts, dirs, e, None)
+    ref = composite(rgb_s, sig_s, z)
+
+    from danerf_tpu.kernels.fused_render import fused_render_rays_eval
+
+    out = fused_render_rays_eval(params, cfg, rays_o, rays_d, z, emb)
+    for k in ("rgb", "depth", "acc", "weights"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=3e-5, atol=3e-5,
+                                   err_msg=k)
+
+    # and the end-to-end hier fused path must at least render finite images
+    from danerf_tpu.render.renderer import render_rays
+
+    hier = render_rays(params, cfg, jax.random.key(3), rays_o, rays_d, emb,
+                       n_samples=16, n_importance=8, perturb=False,
+                       fused_composite=True)
+    assert np.all(np.isfinite(np.asarray(hier["rgb"])))
+    assert hier["z_vals"].shape == (R, 24)
+
+
+def test_fused_render_ray_padding():
+    """Ray counts that don't divide the ray tile go through the pad path."""
+    from danerf_tpu.kernels.fused_render import fused_render_rays_eval
+    from danerf_tpu.models import nerf_apply
+    from danerf_tpu.ops.composite import composite
+    from danerf_tpu.ops.sampling import sample_stratified
+
+    cfg = SMALL
+    params = init_nerf_params(jax.random.key(0), cfg)
+    rays_o, rays_d, emb = _rays(7, cfg)  # 7 rays, S=16 -> pads the ray tile
+    z, pts = sample_stratified(jax.random.key(2), rays_o, rays_d, 2.0, 6.0,
+                               16, perturb=False)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    e = jnp.broadcast_to(emb[:, None, :], (7, 16, cfg.appearance_dim))
+    rgb_s, sig_s = nerf_apply(params, cfg, pts, dirs, e, None)
+    ref = composite(rgb_s, sig_s, z)
+    out = fused_render_rays_eval(params, cfg, rays_o, rays_d, z, emb)
+    np.testing.assert_allclose(out["rgb"], ref["rgb"], rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(out["weights"], ref["weights"], rtol=3e-5, atol=3e-5)
