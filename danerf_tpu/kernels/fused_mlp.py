@@ -37,14 +37,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from danerf_tpu.config import NeRFConfig
 
-# Samples per grid step.  512 keeps fwd+bwd VMEM (params + grads + 8 trunk
-# activations + concat buffers) under ~10 MB of the ~16 MB budget; measured:
-# 1024 -> 21 MB and 2048 -> 41 MB both fail Mosaic's scoped-vmem check on v5e.
+# Samples per grid step of the fwd+bwd kernel at fp32 residuals.  512 keeps
+# VMEM (params + grads + 8 trunk activations + concat buffers) under the
+# ~16 MB budget; fp32 @ 1024 -> 21 MB and @ 2048 -> 41 MB both fail Mosaic's
+# scoped-vmem check on v5e.  With bf16 residuals (use_bf16) the activations
+# halve and 1024 fits (2048 -> 26.8 MB still fails); measured +5% rays/s.
 # Env-overridable for tuning sweeps (DANERF_PALLAS_TILE).
 TILE = int(os.environ.get("DANERF_PALLAS_TILE", "512"))
 # Forward-only tile: without gradient accumulators or stashed activations the
 # VMEM budget allows 4x larger tiles (better MXU occupancy for rendering).
 FWD_TILE = int(os.environ.get("DANERF_PALLAS_FWD_TILE", str(TILE * 4)))
+
+
+# Scoped-VMEM ceiling passed to Mosaic.  XLA's default cap is 16 MB, well
+# under the v5e's physical VMEM; the bwd kernel at the bf16 tile of 1024
+# needs ~16.1 MB (85 KB over the default), so the cap is raised explicitly.
+VMEM_LIMIT = int(os.environ.get("DANERF_PALLAS_VMEM_MB", "64")) * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
+def _bwd_tile(cfg: NeRFConfig) -> int:
+    return 2 * TILE if cfg.use_bf16 else TILE
 
 
 # ------------------------------------------------------------------ packing
@@ -147,6 +160,11 @@ def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts, t=None):
         # AnimatedNeRF (reference src/models.py:228-234): encoded time is
         # concatenated to the encoded position at the input and every skip.
         enc_x = jnp.concatenate([enc_x, _encode(t, *enc_consts[6:9])], axis=-1)
+    # Activations are held in the compute dtype: with bf16 this halves the
+    # residual VMEM (the matmuls cast to bf16 anyway, so the values entering
+    # every dot are unchanged) and lifts the fwd+bwd tile from 512 to 1024.
+    enc_x = enc_x.astype(cdt)
+    enc_d = enc_d.astype(cdt)
 
     hs = []      # post-relu trunk activations
     ins = []     # layer inputs (possibly concat with enc_x)
@@ -156,7 +174,7 @@ def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts, t=None):
             h = jnp.concatenate([h, enc_x], axis=-1)
         ins.append(h)
         w, b = p[2 * i], p[2 * i + 1]
-        h = jax.nn.relu(_dot(h, w, cdt) + b)
+        h = jax.nn.relu(_dot(h, w, cdt) + b).astype(cdt)
         hs.append(h)
 
     wd, bd = p[2 * n_layers], p[2 * n_layers + 1]
@@ -265,7 +283,8 @@ def _bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
     # trunk, reversed, dropping skip-concat grads into the previous layer
     for i in range(n_layers - 1, -1, -1):
         w = p[2 * i]
-        d_pre = d_h * (r["hs"][i] > 0)
+        # gate mask in f32: Mosaic has no bf16 vector compare
+        d_pre = d_h * (r["hs"][i].astype(jnp.float32) > 0)
         grads[2 * i] = dotT_a(r["ins"][i], d_pre)
         grads[2 * i + 1] = jnp.sum(d_pre, axis=0, keepdims=True)
         if i > 0:
@@ -345,6 +364,7 @@ def _fused_fwd_call(packed, pts, dirs, emb, t, cfg: NeRFConfig):
         out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 3), jnp.float32),
                    jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*data, *enc_args, *packed)
     return rgb, sigma
 
@@ -360,14 +380,16 @@ def _fused_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
     interpret = jax.default_backend() != "tpu"
     n_params = len(packed)
     has_time = t is not None
-    n_tiles = pts.shape[0] // TILE
+    bt = _bwd_tile(cfg)
+    n_tiles = pts.shape[0] // bt
     enc_args = _enc_const_args(cfg, has_time)
     kernel = functools.partial(_bwd_kernel, cfg, n_params, has_time)
     data = [pts, dirs, emb] + ([t] if has_time else []) + [g_rgb, g_sigma]
-    data_specs = [_tile_spec(3), _tile_spec(3), _tile_spec(emb.shape[-1])]
+    data_specs = [_tile_spec(3, bt), _tile_spec(3, bt),
+                  _tile_spec(emb.shape[-1], bt)]
     if has_time:
-        data_specs.append(_tile_spec(1))
-    data_specs += [_tile_spec(3), _tile_spec(1)]
+        data_specs.append(_tile_spec(1, bt))
+    data_specs += [_tile_spec(3, bt), _tile_spec(1, bt)]
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -375,10 +397,11 @@ def _fused_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
         + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(w.shape) for w in packed],
         out_specs=[_const_spec(w.shape) for w in packed]
-        + [_tile_spec(emb.shape[-1])],
+        + [_tile_spec(emb.shape[-1], bt)],
         out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed]
         + [jax.ShapeDtypeStruct(emb.shape, jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*data, *enc_args, *packed)
     dparams, demb = list(outs[:-1]), outs[-1]
     dt = jnp.zeros_like(t) if has_time else None
@@ -409,13 +432,14 @@ def fused_nerf_apply(params: dict, cfg: NeRFConfig, x, d,
             appearance_embedding, lead + (appearance_embedding.shape[-1],)
         ).reshape(-1, appearance_embedding.shape[-1]).astype(jnp.float32)
 
-    xf, n = _pad_to_tile(xf)
-    df, _ = _pad_to_tile(df)
-    ef, _ = _pad_to_tile(ef)
+    bt = _bwd_tile(cfg)
+    xf, n = _pad_to_tile(xf, bt)
+    df, _ = _pad_to_tile(df, bt)
+    ef, _ = _pad_to_tile(ef, bt)
     tf = None
     if cfg.use_time:
         tf = jnp.broadcast_to(t, lead + (1,)).reshape(-1, 1).astype(jnp.float32)
-        tf, _ = _pad_to_tile(tf)
+        tf, _ = _pad_to_tile(tf, bt)
 
     packed = pack_params(params, cfg)
     if appearance_embedding is None:

@@ -35,8 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from danerf_tpu.config import NeRFConfig
-from danerf_tpu.kernels.fused_mlp import (_const_spec, _enc_const_args, _encode,
-                                          pack_params)
+from danerf_tpu.kernels.fused_mlp import (_COMPILER_PARAMS, _const_spec,
+                                          _enc_const_args, _encode, pack_params)
 
 # Samples per tile (TR = RENDER_TILE // S rays).  Matches the forward-only
 # VMEM budget of the per-sample kernel (bf16 @ 2048; fp32 halves it).
@@ -217,6 +217,7 @@ def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
                    jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
                    jax.ShapeDtypeStruct((rp, 1, s), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*data, *enc_args, *packed)
 
     return {
