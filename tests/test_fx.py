@@ -232,3 +232,22 @@ def test_params_override_and_determinism():
     np.testing.assert_array_equal(a, b)
     c = np.asarray(apply_effect("Film Grain", IMG, key=jax.random.key(6)))
     assert not np.array_equal(a, c)
+
+
+def test_apply_effect_slug_names():
+    """CLI-friendly slug forms resolve to the display names (fog, toon_shader,
+    neon-glow); unknown names still raise with the option list."""
+    import numpy as np
+    import pytest
+
+    from danerf_tpu.fx.effects import apply_effect
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    depth = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    a = apply_effect("Fog", img, depth)
+    b = apply_effect("fog", img, depth)
+    np.testing.assert_array_equal(a, b)
+    c = apply_effect("toon_shader", img, depth)
+    assert c.shape == (8, 8, 3)
+    with pytest.raises(KeyError):
+        apply_effect("not_an_effect", img)
