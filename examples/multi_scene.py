@@ -37,7 +37,7 @@ def main():
     report = {}
     for scene_name in args.scenes:
         cfg = NeRFConfig(scene=scene_name, num_importance=0, use_bf16=True,
-                         render_chunk=args.size * args.size)
+                         use_pallas=True, render_chunk=args.size * args.size)
         if scene_name.isdigit():
             scene = make_synthetic_scene("train", n_images=16, height=args.size,
                                          width=args.size, seed=int(scene_name))
