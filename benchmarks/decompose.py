@@ -99,20 +99,7 @@ def main():
     timeit("nograd", nograd, state.params, jax.random.key(1), pool)
     timeit("gradsonly", gradsonly, state.params, jax.random.key(1), pool)
 
-    def full_fn(state, pool):
-        s, m = full(state, pool)
-        return m["loss"]
-    # full donates state; rebuild each call from host copy to keep it simple
-    host_state = jax.device_get(state)
-
-    def full_wrap(pool):
-        s = jax.tree_util.tree_map(jnp.asarray, host_state)
-        from danerf_tpu.train.trainer import TrainState
-        s = TrainState(*s)
-        s2, m = full(s, pool)
-        return m["loss"]
-
-    # timing including the re-upload is unfair; instead chain states
+    # full donates state; chain states across calls
     for _ in range(3):
         state, m = full(state, pool)
     float(m["loss"])
