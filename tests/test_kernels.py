@@ -221,3 +221,20 @@ def test_fused_render_ray_padding():
     out = fused_render_rays_eval(params, cfg, rays_o, rays_d, z, emb)
     np.testing.assert_allclose(out["rgb"], ref["rgb"], rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(out["weights"], ref["weights"], rtol=3e-5, atol=3e-5)
+
+
+def test_fused_render_with_aabb_bounds():
+    """Per-ray AABB-tightened [near, far] feeds the fused kernel the same way
+    it feeds the core path (z is computed outside the kernel either way)."""
+    from danerf_tpu.render.renderer import render_rays
+
+    cfg = SMALL.replace(scene_aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5))
+    params = init_nerf_params(jax.random.key(0), cfg)
+    rays_o, rays_d, emb = _rays(16, cfg)
+    kwargs = dict(n_samples=16, n_importance=0, perturb=False)
+
+    ref = render_rays(params, cfg, jax.random.key(1), rays_o, rays_d, emb, **kwargs)
+    out = render_rays(params, cfg, jax.random.key(1), rays_o, rays_d, emb,
+                      fused_composite=True, **kwargs)
+    for k in ("rgb", "depth", "acc", "weights"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=3e-5, atol=3e-5, err_msg=k)
