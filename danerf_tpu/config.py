@@ -69,6 +69,11 @@ class NeRFConfig:
     use_bf16: bool = True
     # Fused Pallas ray-march kernel instead of the XLA-fused jnp path.
     use_pallas: bool = False
+    # Route the TRAINING loss through the fully-fused ray-march custom VJP
+    # (field eval AND compositing in one kernel pair, per-ray HBM I/O)
+    # instead of the per-sample kernel + XLA compositing.  Requires
+    # use_pallas; gradients verified equal to the core path in tests.
+    use_fused_train: bool = True
     # Rematerialize the field evaluation in the backward pass (trades ~1/3
     # more FLOPs for dropping all trunk activations from HBM).  Measured on
     # v5e: the un-remat'd XLA path OOMs at a 65536-ray batch (33 GB of

@@ -144,22 +144,15 @@ def _encode(x, M, phase, is_input):
     return jnp.where(is_input > 0, y, jnp.sin(y + phase))
 
 
-def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts, t=None):
-    """Shared fwd math on one tile; returns (rgb, sigma, residual activations).
+def _field_from_enc(cfg: NeRFConfig, enc_x, enc_d, emb, p):
+    """MLP trunk + heads on pre-encoded inputs; returns (rgb, sigma, res).
 
-    p: list of param arrays in pack_params order.  enc_consts: the encoding
-    constant arrays (pos M/phase/mask, dir M/phase/mask, and time M/phase/mask
-    when ``t`` is given).  Residuals are only consumed by the in-kernel
-    backward (they stay in VMEM / registers).
+    Shared by the per-sample kernels here and the fused ray-march kernels in
+    fused_render.py (which build enc_x from rays+z instead of points).
+    Residuals only feed the in-kernel backward (VMEM / registers).
     """
     cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     n_layers = cfg.num_layers
-    enc_x = _encode(pts, *enc_consts[:3])
-    enc_d = _encode(dirs, *enc_consts[3:6])
-    if t is not None:
-        # AnimatedNeRF (reference src/models.py:228-234): encoded time is
-        # concatenated to the encoded position at the input and every skip.
-        enc_x = jnp.concatenate([enc_x, _encode(t, *enc_consts[6:9])], axis=-1)
     # Activations are held in the compute dtype: with bf16 this halves the
     # residual VMEM (the matmuls cast to bf16 anyway, so the values entering
     # every dot are unchanged) and lifts the fwd+bwd tile from 512 to 1024.
@@ -197,6 +190,22 @@ def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts, t=None):
     return rgb, sigma, res
 
 
+def _forward_tile(cfg: NeRFConfig, pts, dirs, emb, p, enc_consts, t=None):
+    """Shared fwd math on one tile of points; returns (rgb, sigma, res).
+
+    p: list of param arrays in pack_params order.  enc_consts: the encoding
+    constant arrays (pos M/phase/mask, dir M/phase/mask, and time M/phase/mask
+    when ``t`` is given).
+    """
+    enc_x = _encode(pts, *enc_consts[:3])
+    enc_d = _encode(dirs, *enc_consts[3:6])
+    if t is not None:
+        # AnimatedNeRF (reference src/models.py:228-234): encoded time is
+        # concatenated to the encoded position at the input and every skip.
+        enc_x = jnp.concatenate([enc_x, _encode(t, *enc_consts[6:9])], axis=-1)
+    return _field_from_enc(cfg, enc_x, enc_d, emb, p)
+
+
 def _fwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
     n_data = 4 if has_time else 3
     n_enc = 9 if has_time else 6
@@ -228,16 +237,26 @@ def _bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
     p = [r[:] for r in ins[n_data + n_enc:]]
     dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
 
-    cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
-    n_layers = cfg.num_layers
-    hidden = cfg.hidden_dim
-
     # Recompute the tile forward, keeping residuals in VMEM.
     emb = emb_ref[:]
     _, _, r = _forward_tile(cfg, pts_ref[:], dirs_ref[:], emb, p, enc_consts, t=t)
 
-    g_rgb = g_rgb_ref[:]
-    g_sigma = g_sigma_ref[:]
+    grads, demb = _field_bwd_from_res(cfg, n_params, p, r, emb,
+                                      g_rgb_ref[:], g_sigma_ref[:])
+    demb_ref[:] = demb
+    _accumulate_grads(dparam_refs, grads)
+
+
+def _field_bwd_from_res(cfg: NeRFConfig, n_params: int, p, r, emb,
+                        g_rgb, g_sigma):
+    """Transposed MLP chain from recomputed residuals ``r``.
+
+    Returns (param grad list in pack order, demb).  Shared by the per-sample
+    VJP here and the fused ray-march VJP in fused_render.py.
+    """
+    cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    n_layers = cfg.num_layers
+    hidden = cfg.hidden_dim
 
     def dotT_a(a, g):  # contribution to dW: a^T @ g, transpose-free on the MXU
         return jax.lax.dot_general(
@@ -264,7 +283,7 @@ def _bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
     wapp = p[2 * n_layers + 4]
     grads[2 * n_layers + 4] = dotT_a(emb, d_happ)
     grads[2 * n_layers + 5] = jnp.sum(d_happ, axis=0, keepdims=True)
-    demb_ref[:] = dot_wT(d_happ, wapp)
+    demb = dot_wT(d_happ, wapp)
 
     # dir branch: hdir = relu([h8, enc_d] @ Wdir + bdir)
     wdir = p[2 * n_layers + 2]
@@ -291,7 +310,11 @@ def _bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool, *refs):
             d_in = dot_wT(d_pre, w)
             d_h = d_in[:, :hidden]  # enc_x tail (skip layers) is data
 
-    # Accumulate parameter grads across the sequential grid.
+    return grads, demb
+
+
+def _accumulate_grads(dparam_refs, grads):
+    """Accumulate parameter grads across the sequential TPU grid."""
     first = pl.program_id(0) == 0
     for ref, g in zip(dparam_refs, grads):
         @pl.when(first)

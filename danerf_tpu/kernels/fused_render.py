@@ -35,34 +35,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from danerf_tpu.config import NeRFConfig
-from danerf_tpu.kernels.fused_mlp import (_COMPILER_PARAMS, _const_spec,
-                                          _enc_const_args, _encode, pack_params)
+from danerf_tpu.kernels.fused_mlp import (_COMPILER_PARAMS, _accumulate_grads,
+                                          _bwd_tile, _const_spec,
+                                          _enc_const_args, _encode,
+                                          _field_bwd_from_res, _field_from_enc,
+                                          pack_params)
 
 # Samples per tile (TR = RENDER_TILE // S rays).  Matches the forward-only
 # VMEM budget of the per-sample kernel (bf16 @ 2048; fp32 halves it).
 RENDER_TILE = int(os.environ.get("DANERF_PALLAS_RENDER_TILE", "2048"))
 
 
-def _render_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
-                   tr: int, s: int, *refs):
-    n_data = 5 if has_time else 4
-    n_enc = 9 if has_time else 6
-    ins = refs[:n_data + n_enc + n_params]
-    outs = refs[n_data + n_enc + n_params:]
-    o_ref, d_ref, emb_ref, z_ref = ins[:4]
-    t_ref = ins[4] if has_time else None
-    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
-    p = [r[:] for r in ins[n_data + n_enc:]]
-    rgb_ref, depth_ref, acc_ref, w_ref = outs
+def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
+                o, d, emb2, z, t, enc_consts, p):
+    """Full ray march on one (TR rays, S samples) tile.
 
-    cdt = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    Returns (rgb_map (TR,1,3), depth (TR,1,1), acc (TR,1,1), w (TR,1,S), aux)
+    where aux carries everything the in-kernel backward needs.
+    """
     f32 = jnp.float32
-    n_layers = cfg.num_layers
     n_t = tr * s
-
-    o = o_ref[:]            # (TR, 3)
-    d = d_ref[:]            # (TR, 3) unit
-    z = z_ref[:]            # (TR, S)
     mp, pp, ip = enc_consts[0], enc_consts[1], enc_consts[2]
 
     # Positional encoding of o + z*d without materializing points:
@@ -79,27 +71,13 @@ def _render_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
     enc_d = enc_d.reshape(n_t, -1)
 
     if has_time:
-        enc_t = _encode(t_ref[:], *enc_consts[6:9])       # (TR, T)
+        enc_t = _encode(t, *enc_consts[6:9])              # (TR, T)
         enc_t = jnp.broadcast_to(enc_t[:, None, :], (tr, s, enc_t.shape[-1]))
         enc_x = jnp.concatenate([enc_x, enc_t.reshape(n_t, -1)], axis=-1)
 
-    def dot(x, w):
-        return jnp.dot(x.astype(cdt), w.astype(cdt), preferred_element_type=f32)
-
-    h = enc_x
-    for i in range(n_layers):
-        if i in cfg.skip_connect_layers and i > 0:
-            h = jnp.concatenate([h, enc_x], axis=-1)
-        h = jax.nn.relu(dot(h, p[2 * i]) + p[2 * i + 1])
-
-    sigma = jax.nn.relu(dot(h, p[2 * n_layers]) + p[2 * n_layers + 1])  # (N,1)
-
-    hdir = jax.nn.relu(
-        dot(jnp.concatenate([h, enc_d], axis=-1), p[2 * n_layers + 2])
-        + p[2 * n_layers + 3])
-    emb = jnp.broadcast_to(emb_ref[:][:, None, :], (tr, s, emb_ref.shape[-1]))
-    happ = hdir + dot(emb.reshape(n_t, -1), p[2 * n_layers + 4]) + p[2 * n_layers + 5]
-    rgb = jax.nn.sigmoid(dot(happ, p[2 * n_layers + 6]) + p[2 * n_layers + 7])
+    emb_flat = jnp.broadcast_to(
+        emb2[:, None, :], (tr, s, emb2.shape[-1])).reshape(n_t, -1)
+    rgb, sigma, res = _field_from_enc(cfg, enc_x, enc_d, emb_flat, p)
 
     # ---- compositing in (TR, 1, S) lane layout ----------------------------
     # sigma (N,1) -> (TR,S,1) is a free leading-dim split; the move of S into
@@ -134,10 +112,96 @@ def _render_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
     )                                                     # (TR, 1, 3)
 
+    aux = dict(res=res, rgb=rgb, alpha=alpha, trans=trans, z_l=z_l,
+               dists=dists, emb_flat=emb_flat)
+    return rgb_map, depth, acc, w, aux
+
+
+def _render_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                   tr: int, s: int, *refs):
+    n_data = 5 if has_time else 4
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, z_ref = ins[:4]
+    t = ins[4][:] if has_time else None
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    rgb_ref, depth_ref, acc_ref, w_ref = outs
+
+    rgb_map, depth, acc, w, _ = _march_tile(
+        cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
+        enc_consts, p)
     rgb_ref[:] = rgb_map
     depth_ref[:] = depth
     acc_ref[:] = acc
     w_ref[:] = w
+
+
+def _march_bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                      tr: int, s: int, *refs):
+    """Backward of the fused ray march: recompute the tile forward, run the
+    compositing VJP in (TR, 1, S) lane layout, then the shared transposed MLP
+    chain.  Parameter grads accumulate across the sequential grid; the per-ray
+    appearance cotangent streams out per tile.
+
+    Cotangent inputs (g_rgb (TR,1,3), g_depth/g_acc (TR,1,1), g_w (TR,1,S))
+    arrive pre-shaped 3-D so no in-kernel relayout is needed for them.
+    """
+    n_data = 9 if has_time else 8
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, z_ref = ins[:4]
+    t = ins[4][:] if has_time else None
+    g_rgb_ref, g_depth_ref, g_acc_ref, g_w_ref = ins[n_data - 4:n_data]
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
+
+    f32 = jnp.float32
+    n_t = tr * s
+
+    rgb_map, depth, acc, w, aux = _march_tile(
+        cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
+        enc_consts, p)
+    rgb, alpha, trans = aux["rgb"], aux["alpha"], aux["trans"]
+    z_l, dists = aux["z_l"], aux["dists"]
+
+    g_rgbmap = g_rgb_ref[:]                               # (TR, 1, 3)
+    g_depth = g_depth_ref[:]                              # (TR, 1, 1)
+    g_acc = g_acc_ref[:]                                  # (TR, 1, 1)
+
+    # d loss / d w_s: rgb term (batched (1,3)@(3,S)... via dot over channel),
+    # depth term (z_s - depth)/(acc+eps), acc term, external weights term.
+    g_w = g_w_ref[:] + jax.lax.dot_general(
+        g_rgbmap, rgb.reshape(tr, s, 3),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+    )                                                     # (TR, 1, S)
+    g_w = g_w + g_depth * (z_l - depth) / (acc + 1e-10) + g_acc
+
+    # w = alpha * T;  T = exp(triu-cumsum(log(1 - alpha + eps)))
+    g_alpha = g_w * trans
+    g_t = g_w * alpha
+    # dT_s/dL_j = T_s for j < s  ->  g_L = (g_T * T) @ strict-lower mask
+    tril = jnp.tril(jnp.ones((s, s), f32), k=-1)          # [s, j]: j < s
+    g_log = jax.lax.dot_general(
+        g_t * trans, tril,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+    )                                                     # (TR, 1, S) over j
+    g_alpha = g_alpha - g_log / (1.0 - alpha + 1e-10)
+    # alpha = 1 - exp(-sigma*dists): d alpha/d sigma = (1 - alpha) * dists
+    g_sigma_l = g_alpha * (1.0 - alpha) * dists           # (TR, 1, S)
+
+    # lanes -> sublanes for the per-sample cotangents feeding the MLP chain.
+    g_sigma_flat = jnp.swapaxes(g_sigma_l, 1, 2).reshape(n_t, 1)
+    w_sub = jnp.swapaxes(w, 1, 2)                         # (TR, S, 1)
+    g_rgb_flat = (w_sub * g_rgbmap).reshape(n_t, 3)       # g rgb_s = w_s*g_map
+
+    grads, demb_flat = _field_bwd_from_res(
+        cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
+    demb_ref[:] = jnp.sum(demb_flat.reshape(tr, s, -1), axis=1)
+    _accumulate_grads(dparam_refs, grads)
 
 
 def _ray_spec(feat, tr):
@@ -149,58 +213,39 @@ def _ray_spec3(mid, feat, tr):
                         memory_space=pltpu.VMEM)
 
 
-def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
-                           z_vals, appearance_embedding=None, t=None):
-    """Fused sample->encode->MLP->composite forward over a ray batch.
+def _pad_rays(arrs, tr):
+    """Pad leading (ray) dim of every array to a multiple of ``tr``."""
+    r = arrs[0].shape[0]
+    pad = (-r) % tr
+    if pad == 0:
+        return arrs, r
+    out = []
+    for x in arrs:
+        if x is None:
+            out.append(None)
+        else:
+            out.append(jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0))
+    return out, r
 
-    Args:
-        params: model param pytree (init_nerf_params layout).
-        cfg: static config.
-        rays_o, rays_d: (R, 3); rays_d must be unit-norm.
-        z_vals: (R, S) per-ray sample depths (sorted).
-        appearance_embedding: optional (R, app_dim) per-ray embedding.
-        t: optional (R, 1) time (cfg.use_time).
 
-    Returns:
-        dict rgb (R, 3), depth (R,), acc (R,), weights (R, S) — identical
-        numerics to composite(nerf_apply(...)) up to matmul association.
-    """
+def _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
+    """Run the forward march kernel; returns UNPADDED (R,1,3)/(R,1,1)/(R,1,S)."""
     interpret = jax.default_backend() != "tpu"
-    r, s = z_vals.shape
+    s = z_vals.shape[-1]
     has_time = t is not None
-
     budget = RENDER_TILE if cfg.use_bf16 else RENDER_TILE // 2
     tr = max(1, budget // s)
-    pad = (-r) % tr
-    if pad:
-        def padr(x):
-            return jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        rays_o, rays_d, z_vals = padr(rays_o), padr(rays_d), padr(z_vals)
-        if appearance_embedding is not None:
-            appearance_embedding = padr(appearance_embedding)
-        if t is not None:
-            t = padr(t)
-    rp = r + pad
-
-    if appearance_embedding is None:
-        emb = jnp.zeros((rp, cfg.appearance_dim), jnp.float32)
-    else:
-        emb = appearance_embedding.astype(jnp.float32)
-
-    packed = pack_params(params, cfg)
-    if appearance_embedding is None:
-        i_app = 2 * cfg.num_layers + 4
-        packed[i_app] = jnp.zeros_like(packed[i_app])
-        packed[i_app + 1] = jnp.zeros_like(packed[i_app + 1])
+    (rays_o, rays_d, emb, z_vals, t), r = _pad_rays(
+        [rays_o, rays_d, emb, z_vals, t], tr)
+    rp = rays_o.shape[0]
     enc_args = _enc_const_args(cfg, has_time)
 
-    data = [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
-            z_vals.astype(jnp.float32)]
+    data = [rays_o, rays_d, emb, z_vals]
     data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
                   _ray_spec(emb.shape[-1], tr), _ray_spec(s, tr)]
     if has_time:
-        data.append(t.astype(jnp.float32))
+        data.append(t)
         data_specs.append(_ray_spec(1, tr))
 
     kernel = functools.partial(_render_kernel, cfg, len(packed), has_time, tr, s)
@@ -219,10 +264,110 @@ def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*data, *enc_args, *packed)
+    return rgb[:r], depth[:r], acc[:r], w[:r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _march_apply(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
+    return _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg)
+
+
+def _march_vjp_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
+    out = _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg)
+    return out, (packed, rays_o, rays_d, emb, z_vals, t)
+
+
+def _march_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
+    packed, rays_o, rays_d, emb, z_vals, t = residuals
+    g_rgb, g_depth, g_acc, g_w = cotangents
+    interpret = jax.default_backend() != "tpu"
+    s = z_vals.shape[-1]
+    has_time = t is not None
+    # The backward recomputes residuals per tile (same budget as the
+    # per-sample train kernel's recompute VJP).
+    tr = max(1, _bwd_tile(cfg) // s)
+    (rays_o, rays_d, emb, z_vals, t, g_rgb, g_depth, g_acc, g_w), r = _pad_rays(
+        [rays_o, rays_d, emb, z_vals, t, g_rgb, g_depth, g_acc, g_w], tr)
+    rp = rays_o.shape[0]
+    enc_args = _enc_const_args(cfg, has_time)
+
+    data = [rays_o, rays_d, emb, z_vals]
+    data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
+                  _ray_spec(emb.shape[-1], tr), _ray_spec(s, tr)]
+    if has_time:
+        data.append(t)
+        data_specs.append(_ray_spec(1, tr))
+    data += [g_rgb, g_depth, g_acc, g_w]
+    data_specs += [_ray_spec3(1, 3, tr), _ray_spec3(1, 1, tr),
+                   _ray_spec3(1, 1, tr), _ray_spec3(1, s, tr)]
+
+    kernel = functools.partial(_march_bwd_kernel, cfg, len(packed), has_time,
+                               tr, s)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=data_specs
+        + [_const_spec(a.shape) for a in enc_args]
+        + [_const_spec(wt.shape) for wt in packed],
+        out_specs=[_const_spec(wt.shape) for wt in packed]
+        + [_ray_spec(emb.shape[-1], tr)],
+        out_shape=[jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in packed]
+        + [jax.ShapeDtypeStruct((rp, emb.shape[-1]), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*data, *enc_args, *packed)
+    dpacked, demb = list(outs[:-1]), outs[-1][:r]
+    dt = jnp.zeros((r, 1), jnp.float32) if has_time else None
+    # Ray geometry and depths are data (z is stop-gradiented upstream).
+    return (dpacked, jnp.zeros((r, 3), jnp.float32),
+            jnp.zeros((r, 3), jnp.float32), demb, jnp.zeros((r, s), jnp.float32),
+            dt)
+
+
+_march_apply.defvjp(_march_vjp_fwd, _march_vjp_bwd)
+
+
+def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
+                           z_vals, appearance_embedding=None, t=None):
+    """Fused sample->encode->MLP->composite over a ray batch (differentiable).
+
+    Args:
+        params: model param pytree (init_nerf_params layout).
+        cfg: static config.
+        rays_o, rays_d: (R, 3); rays_d must be unit-norm.
+        z_vals: (R, S) per-ray sample depths (sorted).
+        appearance_embedding: optional (R, app_dim) per-ray embedding.
+        t: optional (R, 1) time (cfg.use_time).
+
+    Returns:
+        dict rgb (R, 3), depth (R,), acc (R,), weights (R, S) — identical
+        numerics to composite(nerf_apply(...)) up to matmul association.
+        Differentiable wrt params and appearance_embedding via a custom VJP
+        whose backward also runs fully in VMEM (compositing chain included);
+        ray geometry and z receive zero gradients (they are data).
+    """
+    r = z_vals.shape[0]
+    has_time = t is not None
+
+    if appearance_embedding is None:
+        emb = jnp.zeros((r, cfg.appearance_dim), jnp.float32)
+    else:
+        emb = appearance_embedding.astype(jnp.float32)
+
+    packed = pack_params(params, cfg)
+    if appearance_embedding is None:
+        i_app = 2 * cfg.num_layers + 4
+        packed[i_app] = jnp.zeros_like(packed[i_app])
+        packed[i_app + 1] = jnp.zeros_like(packed[i_app + 1])
+
+    rgb, depth, acc, w = _march_apply(
+        packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
+        z_vals.astype(jnp.float32),
+        None if t is None else t.astype(jnp.float32), cfg)
 
     return {
-        "rgb": rgb[:r, 0, :],
-        "depth": depth[:r, 0, 0],
-        "acc": acc[:r, 0, 0],
-        "weights": w[:r, 0, :],
+        "rgb": rgb[:, 0, :],
+        "depth": depth[:, 0, 0],
+        "acc": acc[:, 0, 0],
+        "weights": w[:, 0, :],
     }

@@ -74,7 +74,8 @@ def loss_fn(params, cfg: NeRFConfig, key, batch):
     if cfg.use_appearance:
         emb = params["appearance"][batch["img_idx"]]
     out = render_rays(params["model"], cfg, key, batch["rays_o"], batch["rays_d"],
-                      appearance_embedding=emb, perturb=True)
+                      appearance_embedding=emb, perturb=True,
+                      fused_composite=cfg.use_pallas and cfg.use_fused_train)
     loss = jnp.mean((out["rgb"] - batch["rgb"]) ** 2)
     aux = {"mse": loss}
     if "coarse_rgb" in out and cfg.coarse_loss_weight > 0:
@@ -177,6 +178,7 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
     t0 = time.time()
     metrics = {}
     i = start_step
+    last_logged = start_step
     while i < n_iters:
         # Reference warms up with batch 64 for the first 5 iterations
         # (src/train.py:26,56-58).
@@ -196,7 +198,10 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
                     state, metrics = fn(state, pool)
             i += k
 
-        if i % 10 == 0 or i == n_iters:
+        # i advances in steps_per_call chunks offset by the 5-iter warmup, so
+        # an ``i % 10 == 0`` test would (almost) never fire; log by distance.
+        if i - last_logged >= 10 or i == n_iters:
+            last_logged = i
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(i, **m)
             if progress and (i % 1000 == 0 or i == n_iters):
