@@ -19,9 +19,18 @@ primitive; the matmul form is).
 
 Numerics match ops.composite + the XLA field path (reference semantics
 src/render.py:56-80): 1e-3 tail distance, 1e-10 transmittance floor and depth
-normalizer.  Forward-only by design — training differentiates the per-sample
-kernel's custom VJP; rendering (run.py:212-228's no_grad loop in the
-reference) never needs this backward.
+normalizer.
+
+Differentiable via a custom VJP (``_march_apply``): the backward kernel
+recomputes the tile forward in VMEM, runs the compositing chain's transpose in
+the same (TR, 1, S) lane layout — weight cotangents gathered from the
+rgb/depth/acc losses, the transmittance backward (a reverse exclusive cumsum)
+as one strict-lower-triangular matmul, d_sigma = g_alpha*(1-alpha)*dists —
+and feeds the shared transposed MLP chain from fused_mlp.  Training uses this
+when ``cfg.use_fused_train`` (default): the whole loss forward+backward is two
+kernels with per-ray HBM I/O (+21% over the per-sample kernel at the reference
+batch).  Ray geometry and z receive zero gradients (they are data; the
+renderer stop-gradients z into the importance sampler).
 """
 
 from __future__ import annotations
