@@ -117,3 +117,29 @@ def test_train_loop_with_mesh(scene):
         state, _ = train(TINY, scene, save_dir=d, num_iterations=3,
                          checkpoint_every=0, mesh=mesh, progress=False)
     assert int(state.step) == 3
+
+
+def test_sharded_step_with_fused_march(scene):
+    """The fused ray-march custom VJP must compose with the GSPMD-sharded
+    train step (8-way data parallel): loss finite and matching the unsharded
+    fused step."""
+    cfg = TINY.replace(use_pallas=True, use_fused_train=True)
+    mesh = make_mesh(data=8, model=1)
+    pool_s = replicate_pool(scene.device_arrays(), mesh)
+    pool_1 = scene.device_arrays()
+
+    st_a = create_train_state(jax.random.key(0), cfg, scene.n_images)
+    st_b = shard_train_state(create_train_state(jax.random.key(0), cfg, scene.n_images), mesh)
+
+    step_1 = make_train_step(cfg, scene.height, scene.width, scene.focal)
+    step_8 = make_sharded_train_step(cfg, mesh, scene.height, scene.width, scene.focal)
+
+    for _ in range(2):
+        st_a, m_a = step_1(st_a, pool_1)
+        st_b, m_b = step_8(st_b, pool_s)
+
+    assert np.isfinite(float(m_b["loss"]))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
