@@ -106,10 +106,15 @@ class NeRFConfig:
         return dataclasses.replace(self, **kw)
 
 
-# Quality presets for frame rendering (reference run.py:89-100).
+# Quality presets for frame rendering (reference run.py:89-100).  The
+# reference's chunk sizes (8192/4096/2048) bounded GPU memory; on TPU the
+# fused per-ray kernel keeps HBM per-chunk cost small and LARGER chunks are
+# faster (BENCH_NOTES tile sweep), so the preset chunks are TPU-tuned —
+# higher quality still maps to smaller chunks (more samples per ray live
+# per chunk).  render_path honors these; an explicit --chunk overrides.
 RENDER_PRESETS = {
     # name: (samples_scale, chunk, perturb, use_importance)
-    "preview": dict(samples_scale=0.5, chunk=8192, perturb=False, importance=False),
-    "medium": dict(samples_scale=1.0, chunk=4096, perturb=True, importance=True),
-    "high": dict(samples_scale=1.0, chunk=2048, perturb=True, importance=True),
+    "preview": dict(samples_scale=0.5, chunk=65536, perturb=False, importance=False),
+    "medium": dict(samples_scale=1.0, chunk=65536, perturb=True, importance=True),
+    "high": dict(samples_scale=1.0, chunk=32768, perturb=True, importance=True),
 }

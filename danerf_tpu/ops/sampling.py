@@ -127,7 +127,10 @@ def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
     cdfb = cdf[..., None, :]
     # cdf[below]: prefix {j < inds} is exactly lt; empty prefix -> 0 == cdf[0].
     cdf_below = jnp.max(jnp.where(lt, cdfb, 0.0), axis=-1)
-    # cdf[above]: suffix {j >= inds} is ~lt, never empty (inds <= n).
+    # cdf[above]: suffix {j >= inds} is ~lt.  When float-cumsum rounding lands
+    # cdf[-1] slightly below a u, the suffix is empty and cdf_above = big; the
+    # resulting huge denom drives t toward 0, and z_below == z_above == z[last]
+    # anyway (sfx clamps with n_z - 1), matching the reference's clamped gather.
     cdf_above = jnp.min(jnp.where(lt, big, cdfb), axis=-1)
 
     # z at the same (clamped) indices: z_below = z[max(inds-1, 0) clamped],

@@ -38,7 +38,8 @@ def render_path(params, cfg: NeRFConfig, output_dir: str,
                 raw_output: bool = False, make_video: bool = False,
                 fps: int = 30, dataset_width: Optional[int] = None,
                 focal: Optional[float] = None, seed: int = 0,
-                frame_name: str = "rgb_{:03d}.png") -> list[str]:
+                frame_name: str = "rgb_{:03d}.png",
+                chunk: Optional[int] = None) -> list[str]:
     """Render frames along a parametric path (reference run.py:63-282).
 
     focal: dataset focal at dataset_width; rescaled for the output width like
@@ -50,6 +51,8 @@ def render_path(params, cfg: NeRFConfig, output_dir: str,
     n_samples = max(int(cfg.num_samples * preset["samples_scale"]), 1)
     n_importance = cfg.num_importance if preset["importance"] else 0
     perturb = preset["perturb"]
+    if chunk is None:
+        chunk = preset["chunk"]  # quality->chunk mapping, reference run.py:89-100
 
     if focal is None:
         focal = 0.5 * width / np.tan(0.5 * 0.6911)
@@ -70,7 +73,8 @@ def render_path(params, cfg: NeRFConfig, output_dir: str,
         rgb, depth, _ = render_frame(
             params, cfg, jax.random.fold_in(key, i), c2w, height, width, focal,
             appearance_embedding=appearance_embedding,
-            n_samples=n_samples, n_importance=n_importance, perturb=perturb)
+            n_samples=n_samples, n_importance=n_importance, perturb=perturb,
+            chunk=chunk)
 
         import jax.numpy as jnp
 

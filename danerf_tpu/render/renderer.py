@@ -88,10 +88,12 @@ def render_rays(
         perturb: static bool.
         background_color: optional (3,).
         fused_composite: static bool — route field eval AND compositing
-            through the fully-fused forward-only ray-march kernel
-            (kernels/fused_render.py).  No-grad paths only: the fused kernel
-            has no VJP.  HBM then sees only per-ray tensors, avoiding the
-            4-128x tiled-layout padding of (rays*samples, feat) temporaries
+            through the fully-fused ray-march kernel
+            (kernels/fused_render.py).  Differentiable via its custom VJP
+            (params/appearance grads only; ray geometry and z_vals receive
+            zero gradients — sampling positions are stop_gradient'ed anyway).
+            HBM then sees only per-ray tensors, avoiding the 4-128x
+            tiled-layout padding of (rays*samples, feat) temporaries
             that OOMed the hierarchical 800x800 frame.
 
     Returns:

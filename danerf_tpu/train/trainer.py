@@ -179,6 +179,7 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
     metrics = {}
     i = start_step
     last_logged = start_step
+    last_progress = start_step
     while i < n_iters:
         # Reference warms up with batch 64 for the first 5 iterations
         # (src/train.py:26,56-58).
@@ -204,7 +205,10 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
             last_logged = i
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(i, **m)
-            if progress and (i % 1000 == 0 or i == n_iters):
+            # like last_logged: i advances in warmup-offset chunks, so a
+            # modulo test would rarely fire — print by distance instead
+            if progress and (i - last_progress >= 1000 or i == n_iters):
+                last_progress = i
                 rays_s = cfg.batch_size * i / max(time.time() - t0, 1e-9)
                 print(f"step {i}/{n_iters} loss={m['loss']:.5f} "
                       f"psnr={m['psnr']:.2f} rays/s={rays_s:,.0f}")
