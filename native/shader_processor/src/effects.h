@@ -20,10 +20,16 @@ using Params = std::map<std::string, double>;
 // (caller guarantees matching dims, as the reference pipeline does).
 using EffectFn = Image (*)(const Image& rgb, const Image& depth, const Params& p);
 
-// Registered effects (lower_snake names): passthrough, toon, fog, sepia,
-// vignette, posterize, grayscale, invert.
+// Registered effects (lower_snake names): all 13 reference effects — toon,
+// color_boost, sepia, bloom, vignette, night_vision, film_grain,
+// pencil_sketch, cross_processing, posterize, neon_glow, hologram, fog —
+// plus passthrough/default/original aliases and grayscale/invert extras.
 const std::map<std::string, EffectFn>& effect_registry();
 
-// Apply by name; falls back to passthrough for unknown names.
+// True when ``name`` is a registered effect.
+bool has_effect(const std::string& name);
+
+// Apply by name.  Unknown names return the input unchanged; callers should
+// gate on has_effect() and report the error (main.cpp exits nonzero).
 Image apply_effect(const std::string& name, const Image& rgb, const Image& depth,
                    const Params& params);

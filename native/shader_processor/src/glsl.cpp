@@ -1,0 +1,833 @@
+#include "glsl.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <set>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------------- values
+
+struct Val {
+  int n = 1;                     // component count 1..4
+  float v[4] = {0, 0, 0, 0};
+  static Val scalar(float x) { return Val{1, {x, 0, 0, 0}}; }
+};
+
+struct EvalError : std::runtime_error {
+  using std::runtime_error::runtime_error;
+};
+
+Val broadcast_op(const Val& a, const Val& b, float (*f)(float, float),
+                 const char* op) {
+  if (a.n != b.n && a.n != 1 && b.n != 1)
+    throw EvalError(std::string("size mismatch in '") + op + "'");
+  Val out;
+  out.n = std::max(a.n, b.n);
+  for (int i = 0; i < out.n; ++i)
+    out.v[i] = f(a.v[a.n == 1 ? 0 : i], b.v[b.n == 1 ? 0 : i]);
+  return out;
+}
+
+Val map1(const Val& a, float (*f)(float)) {
+  Val out = a;
+  for (int i = 0; i < a.n; ++i) out.v[i] = f(a.v[i]);
+  return out;
+}
+
+// ------------------------------------------------------------------ lexer
+
+enum class Tok { Ident, Num, Punct, End };
+
+struct Token {
+  Tok kind = Tok::End;
+  std::string text;
+  double num = 0;
+};
+
+struct Lexer {
+  const std::string& s;
+  size_t i = 0;
+  explicit Lexer(const std::string& src) : s(src) {}
+
+  void skip_ws() {
+    for (;;) {
+      while (i < s.size() && std::isspace((unsigned char)s[i])) ++i;
+      if (i < s.size() && s[i] == '#') {  // preprocessor line (e.g. #version)
+        while (i < s.size() && s[i] != '\n') ++i;
+        continue;
+      }
+      if (i + 1 < s.size() && s[i] == '/' && s[i + 1] == '/') {
+        while (i < s.size() && s[i] != '\n') ++i;
+        continue;
+      }
+      if (i + 1 < s.size() && s[i] == '/' && s[i + 1] == '*') {
+        i += 2;
+        while (i + 1 < s.size() && !(s[i] == '*' && s[i + 1] == '/')) ++i;
+        i = std::min(i + 2, s.size());
+        continue;
+      }
+      break;
+    }
+  }
+
+  Token next() {
+    skip_ws();
+    if (i >= s.size()) return {};
+    char c = s[i];
+    if (std::isalpha((unsigned char)c) || c == '_') {
+      size_t j = i;
+      while (j < s.size() && (std::isalnum((unsigned char)s[j]) || s[j] == '_')) ++j;
+      Token t{Tok::Ident, s.substr(i, j - i)};
+      i = j;
+      return t;
+    }
+    if (std::isdigit((unsigned char)c) ||
+        (c == '.' && i + 1 < s.size() && std::isdigit((unsigned char)s[i + 1]))) {
+      size_t j = i;
+      while (j < s.size() && (std::isdigit((unsigned char)s[j]) || s[j] == '.')) ++j;
+      if (j < s.size() && (s[j] == 'e' || s[j] == 'E')) {
+        ++j;
+        if (j < s.size() && (s[j] == '+' || s[j] == '-')) ++j;
+        while (j < s.size() && std::isdigit((unsigned char)s[j])) ++j;
+      }
+      if (j < s.size() && (s[j] == 'f' || s[j] == 'F')) ++j;  // 1.0f suffix
+      Token t{Tok::Num, s.substr(i, j - i)};
+      t.num = std::strtod(t.text.c_str(), nullptr);
+      i = j;
+      return t;
+    }
+    // multi-char operators
+    static const char* two[] = {"==", "!=", "<=", ">=", "&&", "||",
+                                "+=", "-=", "*=", "/=", nullptr};
+    for (int k = 0; two[k]; ++k)
+      if (s.compare(i, 2, two[k]) == 0) {
+        Token t{Tok::Punct, two[k]};
+        i += 2;
+        return t;
+      }
+    Token t{Tok::Punct, std::string(1, c)};
+    ++i;
+    return t;
+  }
+};
+
+// -------------------------------------------------------------------- AST
+
+struct Expr;
+using ExprP = std::unique_ptr<Expr>;
+
+struct Expr {
+  enum Kind { Num, Var, Call, Member, Binary, Unary, Ternary } kind;
+  double num = 0;                  // Num
+  std::string name;                // Var, Call (fn name), Member (swizzle), Binary/Unary (op)
+  std::vector<ExprP> args;         // Call args; Member base; Binary l,r; Unary e; Ternary c,a,b
+};
+
+struct Stmt;
+using StmtP = std::unique_ptr<Stmt>;
+
+struct Stmt {
+  enum Kind { Decl, Assign, If, Return, ExprStmt } kind;
+  std::string name;      // Decl/Assign target
+  std::string swizzle;   // Assign: non-empty for `x.rgb = ...`
+  std::string op;        // Assign: "=", "+=", ...
+  ExprP expr;            // Decl init / Assign rhs / If cond / ExprStmt
+  std::vector<StmtP> then_body, else_body;  // If
+};
+
+struct Shader {
+  // uniforms: name -> (is_sampler, default value)
+  struct Uniform {
+    bool sampler = false;
+    bool has_default = false;
+    Val dflt;
+    std::string type;
+  };
+  std::map<std::string, Uniform> uniforms;
+  std::string in_name;   // `in vec2 <name>` — the texcoord
+  std::string out_name;  // `out vec4 <name>` — the fragment color
+  std::vector<StmtP> body;
+};
+
+// ------------------------------------------------------------------ parser
+
+struct Parser {
+  Lexer lex;
+  Token cur;
+  explicit Parser(const std::string& src) : lex(src) { cur = lex.next(); }
+
+  [[noreturn]] void fail(const std::string& msg) {
+    throw EvalError("glsl parse error: " + msg + " (near '" + cur.text + "')");
+  }
+  void advance() { cur = lex.next(); }
+  bool is_punct(const char* p) { return cur.kind == Tok::Punct && cur.text == p; }
+  bool is_ident(const char* p) { return cur.kind == Tok::Ident && cur.text == p; }
+  void expect(const char* p) {
+    if (!is_punct(p)) fail(std::string("expected '") + p + "'");
+    advance();
+  }
+  std::string expect_ident() {
+    if (cur.kind != Tok::Ident) fail("expected identifier");
+    std::string s = cur.text;
+    advance();
+    return s;
+  }
+
+  static bool is_type(const std::string& t) {
+    return t == "float" || t == "int" || t == "bool" || t == "vec2" ||
+           t == "vec3" || t == "vec4" || t == "sampler2D";
+  }
+
+  Shader parse() {
+    Shader sh;
+    while (cur.kind != Tok::End) {
+      if (is_ident("precision")) {  // precision mediump float;
+        while (cur.kind != Tok::End && !is_punct(";")) advance();
+        expect(";");
+      } else if (is_ident("uniform")) {
+        advance();
+        std::string type = expect_ident();
+        std::string name = expect_ident();
+        Shader::Uniform u;
+        u.type = type;
+        u.sampler = (type == "sampler2D");
+        if (is_punct("=")) {
+          advance();
+          ExprP e = parse_expr();
+          u.has_default = true;
+          u.dflt = const_eval(*e);
+        }
+        expect(";");
+        sh.uniforms[name] = std::move(u);
+      } else if (is_ident("in") || is_ident("varying")) {
+        advance();
+        expect_ident();  // type
+        sh.in_name = expect_ident();
+        expect(";");
+      } else if (is_ident("out")) {
+        advance();
+        expect_ident();  // type
+        sh.out_name = expect_ident();
+        expect(";");
+      } else if (is_ident("void")) {
+        advance();
+        std::string fn = expect_ident();
+        if (fn != "main") fail("only 'void main()' is supported; found function '" + fn + "'");
+        expect("(");
+        expect(")");
+        expect("{");
+        while (!is_punct("}")) {
+          if (cur.kind == Tok::End) fail("unterminated main()");
+          sh.body.push_back(parse_stmt());
+        }
+        expect("}");
+      } else {
+        fail("unsupported top-level construct '" + cur.text + "'");
+      }
+    }
+    if (sh.out_name.empty()) sh.out_name = "gl_FragColor";
+    return sh;
+  }
+
+  StmtP parse_stmt() {
+    auto st = std::make_unique<Stmt>();
+    if (is_ident("if")) {
+      advance();
+      expect("(");
+      st->kind = Stmt::If;
+      st->expr = parse_expr();
+      expect(")");
+      parse_block(st->then_body);
+      if (is_ident("else")) {
+        advance();
+        parse_block(st->else_body);
+      }
+      return st;
+    }
+    if (is_ident("return")) {
+      advance();
+      expect(";");
+      st->kind = Stmt::Return;
+      return st;
+    }
+    if (cur.kind == Tok::Ident && is_type(cur.text)) {
+      // declaration: type name (= expr)? ;   (single declarator)
+      st->kind = Stmt::Decl;
+      advance();
+      st->name = expect_ident();
+      if (is_punct("=")) {
+        advance();
+        st->expr = parse_expr();
+      }
+      expect(";");
+      return st;
+    }
+    if (cur.kind == Tok::Ident) {
+      // assignment: name (.swz)? (=|+=|-=|*=|/=) expr ;  — or a bare call
+      std::string name = cur.text;
+      size_t save_i = lex.i;
+      Token save_cur = cur;
+      advance();
+      std::string swz;
+      if (is_punct(".")) {
+        advance();
+        swz = expect_ident();
+      }
+      if (cur.kind == Tok::Punct &&
+          (cur.text == "=" || cur.text == "+=" || cur.text == "-=" ||
+           cur.text == "*=" || cur.text == "/=")) {
+        st->kind = Stmt::Assign;
+        st->name = name;
+        st->swizzle = swz;
+        st->op = cur.text;
+        advance();
+        st->expr = parse_expr();
+        expect(";");
+        return st;
+      }
+      // not an assignment — rewind and parse as an expression statement
+      lex.i = save_i;
+      cur = save_cur;
+    }
+    st->kind = Stmt::ExprStmt;
+    st->expr = parse_expr();
+    expect(";");
+    return st;
+  }
+
+  void parse_block(std::vector<StmtP>& out) {
+    if (is_punct("{")) {
+      advance();
+      while (!is_punct("}")) {
+        if (cur.kind == Tok::End) fail("unterminated block");
+        out.push_back(parse_stmt());
+      }
+      expect("}");
+    } else {
+      out.push_back(parse_stmt());
+    }
+  }
+
+  // expression grammar, lowest precedence first
+  ExprP parse_expr() { return parse_ternary(); }
+
+  ExprP parse_ternary() {
+    ExprP c = parse_or();
+    if (is_punct("?")) {
+      advance();
+      auto e = std::make_unique<Expr>();
+      e->kind = Expr::Ternary;
+      e->args.push_back(std::move(c));
+      e->args.push_back(parse_expr());
+      expect(":");
+      e->args.push_back(parse_expr());
+      return e;
+    }
+    return c;
+  }
+
+  ExprP binary(const char* ops[], ExprP (Parser::*sub)()) {
+    ExprP l = (this->*sub)();
+    for (;;) {
+      bool matched = false;
+      for (int k = 0; ops[k]; ++k)
+        if (is_punct(ops[k])) {
+          auto e = std::make_unique<Expr>();
+          e->kind = Expr::Binary;
+          e->name = ops[k];
+          advance();
+          e->args.push_back(std::move(l));
+          e->args.push_back((this->*sub)());
+          l = std::move(e);
+          matched = true;
+          break;
+        }
+      if (!matched) return l;
+    }
+  }
+
+  ExprP parse_or() {
+    static const char* ops[] = {"||", nullptr};
+    return binary(ops, &Parser::parse_and);
+  }
+  ExprP parse_and() {
+    static const char* ops[] = {"&&", nullptr};
+    return binary(ops, &Parser::parse_eq);
+  }
+  ExprP parse_eq() {
+    static const char* ops[] = {"==", "!=", nullptr};
+    return binary(ops, &Parser::parse_rel);
+  }
+  ExprP parse_rel() {
+    static const char* ops[] = {"<=", ">=", "<", ">", nullptr};
+    return binary(ops, &Parser::parse_add);
+  }
+  ExprP parse_add() {
+    static const char* ops[] = {"+", "-", nullptr};
+    return binary(ops, &Parser::parse_mul);
+  }
+  ExprP parse_mul() {
+    static const char* ops[] = {"*", "/", nullptr};
+    return binary(ops, &Parser::parse_unary);
+  }
+
+  ExprP parse_unary() {
+    if (is_punct("-") || is_punct("!")) {
+      auto e = std::make_unique<Expr>();
+      e->kind = Expr::Unary;
+      e->name = cur.text;
+      advance();
+      e->args.push_back(parse_unary());
+      return e;
+    }
+    return parse_postfix();
+  }
+
+  ExprP parse_postfix() {
+    ExprP e = parse_primary();
+    while (is_punct(".")) {
+      advance();
+      auto m = std::make_unique<Expr>();
+      m->kind = Expr::Member;
+      m->name = expect_ident();
+      m->args.push_back(std::move(e));
+      e = std::move(m);
+    }
+    return e;
+  }
+
+  ExprP parse_primary() {
+    if (cur.kind == Tok::Num) {
+      auto e = std::make_unique<Expr>();
+      e->kind = Expr::Num;
+      e->num = cur.num;
+      advance();
+      return e;
+    }
+    if (is_punct("(")) {
+      advance();
+      ExprP e = parse_expr();
+      expect(")");
+      return e;
+    }
+    if (cur.kind == Tok::Ident) {
+      std::string name = cur.text;
+      advance();
+      if (is_punct("(")) {
+        advance();
+        auto e = std::make_unique<Expr>();
+        e->kind = Expr::Call;
+        e->name = name;
+        if (!is_punct(")")) {
+          e->args.push_back(parse_expr());
+          while (is_punct(",")) {
+            advance();
+            e->args.push_back(parse_expr());
+          }
+        }
+        expect(")");
+        return e;
+      }
+      auto e = std::make_unique<Expr>();
+      e->kind = Expr::Var;
+      e->name = name;
+      return e;
+    }
+    fail("expected expression");
+  }
+
+  // constant evaluation for uniform defaults (literals + constructors only)
+  Val const_eval(const Expr& e);
+};
+
+// --------------------------------------------------------------- evaluator
+
+struct Sampler {
+  const Image* img = nullptr;  // may be null (e.g. missing depth)
+  bool is_depth = false;
+};
+
+struct Interp {
+  const Shader& sh;
+  std::map<std::string, Val> globals;   // uniforms + builtins
+  std::map<std::string, Sampler> samplers;
+  std::map<std::string, Val> locals;    // per-pixel
+  bool returned = false;
+
+  explicit Interp(const Shader& s) : sh(s) {}
+
+  // bilinear sample with clamp-to-edge; origin top-left, v increases downward
+  Val sample(const Sampler& smp, float u, float v) {
+    Val out;
+    out.n = 4;
+    out.v[3] = 1.f;
+    const Image* img = smp.img;
+    if (!img || img->empty()) return out;  // vec4(0,0,0,1)
+    float fx = u * img->width - 0.5f;
+    float fy = v * img->height - 0.5f;
+    int x0 = int(std::floor(fx)), y0 = int(std::floor(fy));
+    float tx = fx - x0, ty = fy - y0;
+    auto cl = [](int a, int n) { return std::min(std::max(a, 0), n - 1); };
+    int x1 = cl(x0 + 1, img->width), y1 = cl(y0 + 1, img->height);
+    x0 = cl(x0, img->width);
+    y0 = cl(y0, img->height);
+    for (int c = 0; c < 3; ++c) {
+      int ch = std::min(c, img->channels - 1);
+      float p00 = img->row(y0)[x0 * img->channels + ch] / 255.f;
+      float p10 = img->row(y0)[x1 * img->channels + ch] / 255.f;
+      float p01 = img->row(y1)[x0 * img->channels + ch] / 255.f;
+      float p11 = img->row(y1)[x1 * img->channels + ch] / 255.f;
+      out.v[c] = (p00 * (1 - tx) + p10 * tx) * (1 - ty) +
+                 (p01 * (1 - tx) + p11 * tx) * ty;
+    }
+    return out;
+  }
+
+  Val* lookup(const std::string& name) {
+    auto it = locals.find(name);
+    if (it != locals.end()) return &it->second;
+    auto ig = globals.find(name);
+    if (ig != globals.end()) return &ig->second;
+    return nullptr;
+  }
+
+  static int swizzle_index(char c) {
+    switch (c) {
+      case 'x': case 'r': case 's': return 0;
+      case 'y': case 'g': case 't': return 1;
+      case 'z': case 'b': case 'p': return 2;
+      case 'w': case 'a': case 'q': return 3;
+      default: throw EvalError(std::string("bad swizzle component '") + c + "'");
+    }
+  }
+
+  Val eval(const Expr& e) {
+    switch (e.kind) {
+      case Expr::Num:
+        return Val::scalar(float(e.num));
+      case Expr::Var: {
+        Val* v = lookup(e.name);
+        if (!v) {
+          if (samplers.count(e.name))
+            throw EvalError("sampler '" + e.name + "' used outside texture()");
+          throw EvalError("undefined variable '" + e.name + "'");
+        }
+        return *v;
+      }
+      case Expr::Member: {
+        Val base = eval(*e.args[0]);
+        Val out;
+        out.n = int(e.name.size());
+        if (out.n > 4) throw EvalError("swizzle too long: ." + e.name);
+        for (int i = 0; i < out.n; ++i) {
+          int idx = swizzle_index(e.name[i]);
+          if (idx >= base.n) throw EvalError("swizzle ." + e.name + " out of range");
+          out.v[i] = base.v[idx];
+        }
+        return out;
+      }
+      case Expr::Unary: {
+        Val a = eval(*e.args[0]);
+        if (e.name == "-") return map1(a, [](float x) { return -x; });
+        return map1(a, [](float x) { return x == 0.f ? 1.f : 0.f; });  // !
+      }
+      case Expr::Binary:
+        return eval_binary(e);
+      case Expr::Ternary: {
+        Val c = eval(*e.args[0]);
+        return c.v[0] != 0.f ? eval(*e.args[1]) : eval(*e.args[2]);
+      }
+      case Expr::Call:
+        return eval_call(e);
+    }
+    throw EvalError("unreachable expr kind");
+  }
+
+  Val eval_binary(const Expr& e) {
+    const std::string& op = e.name;
+    if (op == "&&") {
+      Val a = eval(*e.args[0]);
+      if (a.v[0] == 0.f) return Val::scalar(0.f);
+      return Val::scalar(eval(*e.args[1]).v[0] != 0.f ? 1.f : 0.f);
+    }
+    if (op == "||") {
+      Val a = eval(*e.args[0]);
+      if (a.v[0] != 0.f) return Val::scalar(1.f);
+      return Val::scalar(eval(*e.args[1]).v[0] != 0.f ? 1.f : 0.f);
+    }
+    Val a = eval(*e.args[0]), b = eval(*e.args[1]);
+    if (op == "+") return broadcast_op(a, b, [](float x, float y) { return x + y; }, "+");
+    if (op == "-") return broadcast_op(a, b, [](float x, float y) { return x - y; }, "-");
+    if (op == "*") return broadcast_op(a, b, [](float x, float y) { return x * y; }, "*");
+    if (op == "/") return broadcast_op(a, b, [](float x, float y) { return x / y; }, "/");
+    if (op == "<") return Val::scalar(a.v[0] < b.v[0] ? 1.f : 0.f);
+    if (op == ">") return Val::scalar(a.v[0] > b.v[0] ? 1.f : 0.f);
+    if (op == "<=") return Val::scalar(a.v[0] <= b.v[0] ? 1.f : 0.f);
+    if (op == ">=") return Val::scalar(a.v[0] >= b.v[0] ? 1.f : 0.f);
+    if (op == "==") return Val::scalar(a.v[0] == b.v[0] ? 1.f : 0.f);
+    if (op == "!=") return Val::scalar(a.v[0] != b.v[0] ? 1.f : 0.f);
+    throw EvalError("unsupported operator '" + op + "'");
+  }
+
+  Val eval_call(const Expr& e) {
+    const std::string& fn = e.name;
+    // constructors
+    if (fn == "float" || fn == "int") return Val::scalar(eval(*e.args[0]).v[0]);
+    if (fn == "vec2" || fn == "vec3" || fn == "vec4") {
+      int n = fn[3] - '0';
+      Val out;
+      out.n = n;
+      if (e.args.size() == 1) {
+        Val a = eval(*e.args[0]);
+        if (a.n == 1)
+          for (int i = 0; i < n; ++i) out.v[i] = a.v[0];  // splat
+        else
+          for (int i = 0; i < n && i < a.n; ++i) out.v[i] = a.v[i];
+        return out;
+      }
+      int k = 0;
+      for (const auto& arg : e.args) {
+        Val a = eval(*arg);
+        for (int i = 0; i < a.n && k < n; ++i) out.v[k++] = a.v[i];
+      }
+      if (k != n) throw EvalError(fn + " constructor arity mismatch");
+      return out;
+    }
+    if (fn == "texture" || fn == "texture2D") {
+      if (e.args.size() != 2 || e.args[0]->kind != Expr::Var)
+        throw EvalError("texture() needs (sampler, coord)");
+      auto it = samplers.find(e.args[0]->name);
+      if (it == samplers.end())
+        throw EvalError("'" + e.args[0]->name + "' is not a sampler2D");
+      Val uv = eval(*e.args[1]);
+      return sample(it->second, uv.v[0], uv.v[1]);
+    }
+    auto arg = [&](size_t i) {
+      if (i >= e.args.size()) throw EvalError(fn + ": missing argument");
+      return eval(*e.args[i]);
+    };
+    // componentwise unary
+    if (fn == "floor") return map1(arg(0), std::floor);
+    if (fn == "ceil") return map1(arg(0), std::ceil);
+    if (fn == "fract") return map1(arg(0), [](float x) { return x - std::floor(x); });
+    if (fn == "abs") return map1(arg(0), std::fabs);
+    if (fn == "sqrt") return map1(arg(0), std::sqrt);
+    if (fn == "sin") return map1(arg(0), std::sin);
+    if (fn == "cos") return map1(arg(0), std::cos);
+    if (fn == "tan") return map1(arg(0), std::tan);
+    if (fn == "exp") return map1(arg(0), std::exp);
+    if (fn == "exp2") return map1(arg(0), std::exp2);
+    if (fn == "log") return map1(arg(0), std::log);
+    if (fn == "sign") return map1(arg(0), [](float x) { return float((x > 0) - (x < 0)); });
+    // componentwise binary
+    if (fn == "pow") return broadcast_op(arg(0), arg(1), [](float x, float y) { return std::pow(x, y); }, "pow");
+    if (fn == "mod") return broadcast_op(arg(0), arg(1), [](float x, float y) { return x - y * std::floor(x / y); }, "mod");
+    if (fn == "min") return broadcast_op(arg(0), arg(1), [](float x, float y) { return std::min(x, y); }, "min");
+    if (fn == "max") return broadcast_op(arg(0), arg(1), [](float x, float y) { return std::max(x, y); }, "max");
+    if (fn == "step") return broadcast_op(arg(0), arg(1), [](float e0, float x) { return x < e0 ? 0.f : 1.f; }, "step");
+    if (fn == "distance") {
+      Val a = arg(0), b = arg(1);
+      double s = 0;
+      for (int i = 0; i < std::max(a.n, b.n); ++i) {
+        double d = a.v[a.n == 1 ? 0 : i] - b.v[b.n == 1 ? 0 : i];
+        s += d * d;
+      }
+      return Val::scalar(float(std::sqrt(s)));
+    }
+    if (fn == "dot") {
+      Val a = arg(0), b = arg(1);
+      double s = 0;
+      for (int i = 0; i < a.n; ++i) s += double(a.v[i]) * b.v[b.n == 1 ? 0 : i];
+      return Val::scalar(float(s));
+    }
+    if (fn == "length") {
+      Val a = arg(0);
+      double s = 0;
+      for (int i = 0; i < a.n; ++i) s += double(a.v[i]) * a.v[i];
+      return Val::scalar(float(std::sqrt(s)));
+    }
+    if (fn == "normalize") {
+      Val a = arg(0);
+      double s = 0;
+      for (int i = 0; i < a.n; ++i) s += double(a.v[i]) * a.v[i];
+      float inv = s > 0 ? float(1.0 / std::sqrt(s)) : 0.f;
+      Val out = a;
+      for (int i = 0; i < a.n; ++i) out.v[i] = a.v[i] * inv;
+      return out;
+    }
+    // ternary builtins
+    if (fn == "clamp") {
+      Val x = arg(0), lo = arg(1), hi = arg(2);
+      Val t = broadcast_op(x, lo, [](float a, float b) { return std::max(a, b); }, "clamp");
+      return broadcast_op(t, hi, [](float a, float b) { return std::min(a, b); }, "clamp");
+    }
+    if (fn == "mix") {
+      Val a = arg(0), b = arg(1), t = arg(2);
+      Val d = broadcast_op(b, a, [](float x, float y) { return x - y; }, "mix");
+      Val td = broadcast_op(t, d, [](float x, float y) { return x * y; }, "mix");
+      return broadcast_op(a, td, [](float x, float y) { return x + y; }, "mix");
+    }
+    if (fn == "smoothstep") {
+      Val e0 = arg(0), e1 = arg(1), x = arg(2);
+      Val num = broadcast_op(x, e0, [](float a, float b) { return a - b; }, "smoothstep");
+      Val den = broadcast_op(e1, e0, [](float a, float b) { return a - b; }, "smoothstep");
+      Val t = broadcast_op(num, den, [](float a, float b) { return b == 0.f ? 0.f : a / b; }, "smoothstep");
+      t = map1(t, [](float v) { return std::min(std::max(v, 0.f), 1.f); });
+      return map1(t, [](float v) { return v * v * (3.f - 2.f * v); });
+    }
+    throw EvalError("unsupported function '" + fn + "'");
+  }
+
+  void exec(const std::vector<StmtP>& body) {
+    for (const auto& st : body) {
+      if (returned) return;
+      switch (st->kind) {
+        case Stmt::Decl:
+          locals[st->name] = st->expr ? eval(*st->expr) : Val{};
+          break;
+        case Stmt::Assign: {
+          Val rhs = eval(*st->expr);
+          Val* target = lookup(st->name);
+          if (!target) {  // assigning to an undeclared name (e.g. gl_FragColor)
+            locals[st->name] = Val{};
+            target = &locals[st->name];
+            target->n = 4;
+          }
+          if (st->swizzle.empty()) {
+            if (st->op == "=") {
+              *target = rhs;
+            } else {
+              char c = st->op[0];
+              auto f = c == '+' ? +[](float x, float y) { return x + y; }
+                     : c == '-' ? +[](float x, float y) { return x - y; }
+                     : c == '*' ? +[](float x, float y) { return x * y; }
+                                : +[](float x, float y) { return x / y; };
+              *target = broadcast_op(*target, rhs, f, st->op.c_str());
+            }
+          } else {
+            for (size_t i = 0; i < st->swizzle.size(); ++i) {
+              int idx = swizzle_index(st->swizzle[i]);
+              if (idx >= target->n)
+                throw EvalError("swizzle assignment ." + st->swizzle + " out of range");
+              float r = rhs.v[rhs.n == 1 ? 0 : int(i)];
+              float& t = target->v[idx];
+              if (st->op == "=") t = r;
+              else if (st->op == "+=") t += r;
+              else if (st->op == "-=") t -= r;
+              else if (st->op == "*=") t *= r;
+              else t /= r;
+            }
+          }
+          break;
+        }
+        case Stmt::If: {
+          Val c = eval(*st->expr);
+          exec(c.v[0] != 0.f ? st->then_body : st->else_body);
+          break;
+        }
+        case Stmt::Return:
+          returned = true;
+          return;
+        case Stmt::ExprStmt:
+          eval(*st->expr);
+          break;
+      }
+    }
+  }
+};
+
+Val Parser::const_eval(const Expr& e) {
+  // uniform defaults are literal expressions; evaluate with an empty env
+  Shader dummy;
+  Interp in(dummy);
+  return in.eval(e);
+}
+
+}  // namespace
+
+bool looks_like_glsl(const std::string& source) {
+  return source.find("void main") != std::string::npos;
+}
+
+GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
+                           const Image& depth, const Params& uniforms) {
+  GlslResult res;
+  try {
+    Parser parser(source);
+    Shader sh = parser.parse();
+    if (sh.body.empty()) throw EvalError("shader has no main() body");
+
+    Interp in(sh);
+    // bind samplers by convention (reference main.cpp:126-137 binds
+    // u_texture to unit 0 and u_depth to unit 1)
+    for (const auto& kv : sh.uniforms) {
+      if (kv.second.sampler) {
+        Sampler s;
+        bool is_depth = kv.first.find("depth") != std::string::npos;
+        s.img = is_depth ? (depth.empty() ? nullptr : &depth) : &rgb;
+        s.is_depth = is_depth;
+        in.samplers[kv.first] = s;
+      }
+    }
+    // uniform values: CLI/params override > shader default > auto-binding
+    for (const auto& kv : sh.uniforms) {
+      if (kv.second.sampler) continue;
+      Val v = kv.second.has_default ? kv.second.dflt : Val{};
+      auto it = uniforms.find(kv.first);
+      if (it == uniforms.end() && kv.first.rfind("u_", 0) == 0)
+        it = uniforms.find(kv.first.substr(2));  // allow --param levels=4
+      if (it != uniforms.end()) {
+        v = Val::scalar(float(it->second));
+        if (kv.second.type == "vec2" || kv.second.type == "vec3" ||
+            kv.second.type == "vec4") {
+          int n = kv.second.type[3] - '0';
+          v.n = n;
+          for (int i = 1; i < n; ++i) v.v[i] = v.v[0];
+        }
+      } else if (!kv.second.has_default && kv.first.find("resolution") != std::string::npos) {
+        v.n = 2;
+        v.v[0] = float(rgb.width);
+        v.v[1] = float(rgb.height);
+      }
+      in.globals[kv.first] = v;
+    }
+
+    Image out;
+    out.width = rgb.width;
+    out.height = rgb.height;
+    out.channels = 3;
+    out.data.resize(size_t(rgb.width) * rgb.height * 3);
+    std::string tc = sh.in_name.empty() ? "v_texCoord" : sh.in_name;
+    for (int y = 0; y < rgb.height; ++y) {
+      for (int x = 0; x < rgb.width; ++x) {
+        in.locals.clear();
+        in.returned = false;
+        Val uv;
+        uv.n = 2;
+        uv.v[0] = (x + 0.5f) / rgb.width;
+        uv.v[1] = (y + 0.5f) / rgb.height;
+        in.globals[tc] = uv;
+        in.exec(sh.body);
+        Val* frag = in.lookup(sh.out_name);
+        Val color = frag ? *frag : Val{};
+        uint8_t* row = out.row(y);
+        for (int c = 0; c < 3; ++c) {
+          float v = color.v[std::min(c, color.n - 1)] * 255.f;
+          row[x * 3 + c] = uint8_t(std::min(255.f, std::max(0.f, v)));
+        }
+      }
+    }
+    res.image = std::move(out);
+    res.ok = true;
+  } catch (const std::exception& ex) {
+    res.error = ex.what();
+  }
+  return res;
+}

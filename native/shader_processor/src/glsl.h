@@ -1,0 +1,41 @@
+// GLSL-subset fragment-shader interpreter (CPU).
+//
+// The reference's native tool compiles and runs ARBITRARY user fragment
+// shaders on an offscreen GL framebuffer (reference:
+// shader_processor/src/shader.cpp:3-62, main.cpp:126-148).  This environment
+// is headless, so the equivalent capability is a small interpreter for the
+// single-texture fragment pattern those shaders use: straight-line GLSL 330
+// with uniforms (incl. default initializers), vec2/3/4 arithmetic, swizzles,
+// texture() sampling of u_texture/u_depth (bilinear, clamp-to-edge), the
+// common builtins (floor/step/mix/clamp/smoothstep/...), if/else, and
+// assignment to the declared `out vec4` variable.
+//
+// Semantics notes:
+// - texcoord origin is top-left with v increasing downward, so
+//   `coord + vec2(0, eps)` samples BELOW — matching the reference toon
+//   shader's depth_bottom naming.
+// - a declared `uniform vec2 u_resolution` with no initializer is auto-bound
+//   to (width, height); scalar uniforms can be set via --param (name with or
+//   without the `u_` prefix).
+#pragma once
+
+#include <string>
+
+#include "effects.h"  // Params
+#include "image.h"
+
+struct GlslResult {
+  bool ok = false;
+  std::string error;
+  Image image;
+};
+
+// Interpret `source` over the rgb (+ optional depth) images.  `uniforms`
+// override the shader's own default values.  On failure, `ok` is false and
+// `error` holds a parse/eval diagnostic.
+GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
+                           const Image& depth, const Params& uniforms);
+
+// Quick check: does the source look like a runnable fragment shader
+// (has a `void main`)?
+bool looks_like_glsl(const std::string& source);

@@ -11,13 +11,16 @@
 // The reference renders through GLFW/GLAD/OpenGL (main.cpp:36-148); this
 // environment has no GPU or display, so the pipeline is pure CPU: libpng in,
 // fixed-function effect (effects.cpp) keyed off the shader file
-// (shader_parse.cpp), libpng out.  Exit codes: 0 ok, 1 usage, 2 io error.
+// (shader_parse.cpp) — or, for arbitrary user GLSL, the fragment-shader
+// interpreter (glsl.cpp) — libpng out.
+// Exit codes: 0 ok, 1 usage, 2 io error, 3 unknown effect / shader error.
 
 #include <cstdio>
 #include <cstring>
 #include <string>
 
 #include "effects.h"
+#include "glsl.h"
 #include "image.h"
 #include "shader_parse.h"
 
@@ -90,13 +93,39 @@ int main(int argc, char* argv[]) {
 
   ShaderSpec spec;
   if (!effect_name.empty()) {
+    spec.mode = ShaderSpec::Mode::Effect;
     spec.effect = effect_name;
   } else {
     spec = parse_shader_file(shader_path);
   }
   for (const auto& kv : overrides) spec.params[kv.first] = kv.second;
 
-  Image out = apply_effect(spec.effect, rgb, depth, spec.params);
+  Image out;
+  switch (spec.mode) {
+    case ShaderSpec::Mode::Effect: {
+      if (!has_effect(spec.effect)) {
+        std::fprintf(stderr, "error: unknown effect '%s'; --list-effects shows options\n",
+                     spec.effect.c_str());
+        return 3;
+      }
+      out = apply_effect(spec.effect, rgb, depth, spec.params);
+      break;
+    }
+    case ShaderSpec::Mode::Glsl: {
+      GlslResult res = run_glsl_shader(spec.source, rgb, depth, spec.params);
+      if (!res.ok) {
+        std::fprintf(stderr, "error: %s: %s\n", shader_path.c_str(),
+                     res.error.c_str());
+        return 3;
+      }
+      out = std::move(res.image);
+      break;
+    }
+    case ShaderSpec::Mode::Invalid:
+      std::fprintf(stderr, "error: %s\n", spec.error.c_str());
+      return 3;
+  }
+
   if (!save_png(output_path, out)) {
     std::fprintf(stderr, "error: cannot write %s\n", output_path.c_str());
     return 2;

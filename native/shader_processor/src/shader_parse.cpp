@@ -5,6 +5,8 @@
 #include <fstream>
 #include <sstream>
 
+#include "glsl.h"
+
 namespace {
 
 std::string lower(std::string s) {
@@ -30,7 +32,10 @@ std::string basename_of(const std::string& path) {
 ShaderSpec parse_shader_file(const std::string& path) {
   ShaderSpec spec;
   std::ifstream f(path);
-  if (!f) return spec;
+  if (!f) {
+    spec.error = "cannot read shader file " + path;
+    return spec;
+  }
 
   std::string body, line;
   bool have_directive = false;
@@ -51,25 +56,41 @@ ShaderSpec parse_shader_file(const std::string& path) {
       }
     }
   }
-  if (have_directive) return spec;
+  if (have_directive) {
+    spec.mode = ShaderSpec::Mode::Effect;
+    return spec;
+  }
 
   // Heuristics for stock shaders written by the reference's shader system
   // (src/shader_system.py:59-104): the toon shader quantizes with u_levels and
-  // samples u_depth; the default shader just samples u_texture.
+  // samples u_depth; the default shader just samples u_texture.  These hit the
+  // fast fixed-function path; novel shaders fall through to the interpreter.
   std::string lbody = lower(body);
   std::string name = lower(basename_of(path));
   auto name_has = [&](const char* s) { return name.find(s) != std::string::npos; };
 
   if (lbody.find("u_levels") != std::string::npos &&
       lbody.find("u_depth") != std::string::npos) {
+    spec.mode = ShaderSpec::Mode::Effect;
     spec.effect = "toon";
     return spec;
   }
   for (const auto& kv : effect_registry()) {
-    if (kv.first != "passthrough" && kv.first != "default" && name_has(kv.first.c_str())) {
+    if (kv.first != "passthrough" && kv.first != "default" &&
+        name_has(kv.first.c_str())) {
+      spec.mode = ShaderSpec::Mode::Effect;
       spec.effect = kv.first;
       return spec;
     }
   }
-  return spec;  // passthrough
+
+  // Arbitrary user GLSL: run it through the interpreter.
+  if (looks_like_glsl(body)) {
+    spec.mode = ShaderSpec::Mode::Glsl;
+    spec.source = body;
+    return spec;
+  }
+
+  spec.error = path + " is neither a directive shader nor GLSL with a main()";
+  return spec;
 }
