@@ -56,11 +56,15 @@ RENDER_TILE = int(os.environ.get("DANERF_PALLAS_RENDER_TILE", "2048"))
 
 
 def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
-                o, d, emb2, z, t, enc_consts, p):
+                o, d, emb2, z, t, enc_consts, p, want_field: bool = False):
     """Full ray march on one (TR rays, S samples) tile.
 
     Returns (rgb_map (TR,1,3), depth (TR,1,1), acc (TR,1,1), w (TR,1,S), aux)
-    where aux carries everything the in-kernel backward needs.
+    where aux carries everything the in-kernel backward needs.  With
+    ``want_field`` aux also holds "field" (TR, 4, S): the per-sample
+    [r, g, b, sigma] values in lane layout, consumed by the hierarchical
+    merged-composite kernel so the fine pass can reuse them instead of
+    re-evaluating the MLP at the coarse depths.
     """
     f32 = jnp.float32
     n_t = tr * s
@@ -123,11 +127,18 @@ def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
 
     aux = dict(res=res, rgb=rgb, alpha=alpha, trans=trans, z_l=z_l,
                dists=dists, emb_flat=emb_flat)
+    if want_field:
+        # rgb to lane layout via the same sublane->lane identity matmul
+        rgb_l = jax.lax.dot_general(
+            rgb.reshape(tr, s, 3), eye,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+        )                                                 # (TR, 3, S)
+        aux["field"] = jnp.concatenate([rgb_l, sigma_l], axis=1)  # (TR, 4, S)
     return rgb_map, depth, acc, w, aux
 
 
 def _render_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
-                   tr: int, s: int, *refs):
+                   tr: int, s: int, want_field: bool, *refs):
     n_data = 5 if has_time else 4
     n_enc = 9 if has_time else 6
     ins = refs[:n_data + n_enc + n_params]
@@ -136,56 +147,33 @@ def _render_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
     t = ins[4][:] if has_time else None
     enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
     p = [r[:] for r in ins[n_data + n_enc:]]
-    rgb_ref, depth_ref, acc_ref, w_ref = outs
+    rgb_ref, depth_ref, acc_ref, w_ref = outs[:4]
 
-    rgb_map, depth, acc, w, _ = _march_tile(
+    rgb_map, depth, acc, w, aux = _march_tile(
         cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
-        enc_consts, p)
+        enc_consts, p, want_field=want_field)
     rgb_ref[:] = rgb_map
     depth_ref[:] = depth
     acc_ref[:] = acc
     w_ref[:] = w
+    if want_field:
+        outs[4][:] = aux["field"]
 
 
-def _march_bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
-                      tr: int, s: int, *refs):
-    """Backward of the fused ray march: recompute the tile forward, run the
-    compositing VJP in (TR, 1, S) lane layout, then the shared transposed MLP
-    chain.  Parameter grads accumulate across the sequential grid; the per-ray
-    appearance cotangent streams out per tile.
+def _composite_bwd_lanes(tr, s, g_rgbmap, g_depth, g_acc, g_w_in,
+                         rgb_l, w, alpha, trans, z_l, dists, depth, acc):
+    """Transpose of the lane-layout compositing chain.
 
-    Cotangent inputs (g_rgb (TR,1,3), g_depth/g_acc (TR,1,1), g_w (TR,1,S))
-    arrive pre-shaped 3-D so no in-kernel relayout is needed for them.
+    All operands are (TR, k, S) lane-layout tensors; ``rgb_l`` is the
+    per-sample rgb as (TR, 3, S).  Returns (g_rgb_l (TR,3,S),
+    g_sigma_l (TR,1,S)).
     """
-    n_data = 9 if has_time else 8
-    n_enc = 9 if has_time else 6
-    ins = refs[:n_data + n_enc + n_params]
-    outs = refs[n_data + n_enc + n_params:]
-    o_ref, d_ref, emb_ref, z_ref = ins[:4]
-    t = ins[4][:] if has_time else None
-    g_rgb_ref, g_depth_ref, g_acc_ref, g_w_ref = ins[n_data - 4:n_data]
-    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
-    p = [r[:] for r in ins[n_data + n_enc:]]
-    dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
-
     f32 = jnp.float32
-    n_t = tr * s
-
-    rgb_map, depth, acc, w, aux = _march_tile(
-        cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
-        enc_consts, p)
-    rgb, alpha, trans = aux["rgb"], aux["alpha"], aux["trans"]
-    z_l, dists = aux["z_l"], aux["dists"]
-
-    g_rgbmap = g_rgb_ref[:]                               # (TR, 1, 3)
-    g_depth = g_depth_ref[:]                              # (TR, 1, 1)
-    g_acc = g_acc_ref[:]                                  # (TR, 1, 1)
-
-    # d loss / d w_s: rgb term (batched (1,3)@(3,S)... via dot over channel),
-    # depth term (z_s - depth)/(acc+eps), acc term, external weights term.
-    g_w = g_w_ref[:] + jax.lax.dot_general(
-        g_rgbmap, rgb.reshape(tr, s, 3),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+    # d loss / d w_s: rgb term, depth term (z_s - depth)/(acc+eps), acc term,
+    # external weights term.
+    g_w = g_w_in + jax.lax.dot_general(
+        g_rgbmap, rgb_l,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
     )                                                     # (TR, 1, S)
     g_w = g_w + g_depth * (z_l - depth) / (acc + 1e-10) + g_acc
 
@@ -201,11 +189,62 @@ def _march_bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
     g_alpha = g_alpha - g_log / (1.0 - alpha + 1e-10)
     # alpha = 1 - exp(-sigma*dists): d alpha/d sigma = (1 - alpha) * dists
     g_sigma_l = g_alpha * (1.0 - alpha) * dists           # (TR, 1, S)
+    # rgb_map = sum_s w_s * rgb_s: d rgb_l[c, s] = w_s * g_rgbmap[c]
+    g_rgb_l = jnp.swapaxes(g_rgbmap, 1, 2) * w            # (TR, 3, S)
+    return g_rgb_l, g_sigma_l
+
+
+def _march_bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                      tr: int, s: int, want_field: bool, *refs):
+    """Backward of the fused ray march: recompute the tile forward, run the
+    compositing VJP in (TR, 1, S) lane layout, then the shared transposed MLP
+    chain.  Parameter grads accumulate across the sequential grid; the per-ray
+    appearance cotangent streams out per tile.
+
+    Cotangent inputs (g_rgb (TR,1,3), g_depth/g_acc (TR,1,1), g_w (TR,1,S)
+    [, g_field (TR,4,S) when want_field]) arrive pre-shaped 3-D so no
+    in-kernel relayout is needed for them.
+    """
+    n_cot = 5 if want_field else 4
+    n_data = (5 if has_time else 4) + n_cot
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, z_ref = ins[:4]
+    t = ins[4][:] if has_time else None
+    cot = ins[n_data - n_cot:n_data]
+    g_rgb_ref, g_depth_ref, g_acc_ref, g_w_ref = cot[:4]
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    dparam_refs, demb_ref = list(outs[:-1]), outs[-1]
+
+    n_t = tr * s
+
+    rgb_map, depth, acc, w, aux = _march_tile(
+        cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
+        enc_consts, p)
+    rgb, alpha, trans = aux["rgb"], aux["alpha"], aux["trans"]
+    z_l, dists = aux["z_l"], aux["dists"]
+
+    # per-sample rgb in lane layout for the compositing transpose
+    eye = jnp.eye(s, dtype=jnp.float32)
+    rgb_l = jax.lax.dot_general(
+        rgb.reshape(tr, s, 3), eye,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+    )                                                     # (TR, 3, S)
+
+    g_rgb_l, g_sigma_l = _composite_bwd_lanes(
+        tr, s, g_rgb_ref[:], g_depth_ref[:], g_acc_ref[:], g_w_ref[:],
+        rgb_l, w, alpha, trans, z_l, dists, depth, acc)
+
+    if want_field:
+        g_field = cot[4][:]                               # (TR, 4, S)
+        g_rgb_l = g_rgb_l + g_field[:, :3, :]
+        g_sigma_l = g_sigma_l + g_field[:, 3:4, :]
 
     # lanes -> sublanes for the per-sample cotangents feeding the MLP chain.
     g_sigma_flat = jnp.swapaxes(g_sigma_l, 1, 2).reshape(n_t, 1)
-    w_sub = jnp.swapaxes(w, 1, 2)                         # (TR, S, 1)
-    g_rgb_flat = (w_sub * g_rgbmap).reshape(n_t, 3)       # g rgb_s = w_s*g_map
+    g_rgb_flat = jnp.swapaxes(g_rgb_l, 1, 2).reshape(n_t, 3)
 
     grads, demb_flat = _field_bwd_from_res(
         cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
@@ -238,8 +277,10 @@ def _pad_rays(arrs, tr):
     return out, r
 
 
-def _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
-    """Run the forward march kernel; returns UNPADDED (R,1,3)/(R,1,1)/(R,1,S)."""
+def _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig,
+                      want_field: bool = False):
+    """Run the forward march kernel; returns UNPADDED (R,1,3)/(R,1,1)/(R,1,S)
+    [+ field (R,4,S) when want_field]."""
     interpret = jax.default_backend() != "tpu"
     s = z_vals.shape[-1]
     has_time = t is not None
@@ -257,46 +298,44 @@ def _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
         data.append(t)
         data_specs.append(_ray_spec(1, tr))
 
-    kernel = functools.partial(_render_kernel, cfg, len(packed), has_time, tr, s)
-    rgb, depth, acc, w = pl.pallas_call(
+    out_specs = [_ray_spec3(1, 3, tr), _ray_spec3(1, 1, tr),
+                 _ray_spec3(1, 1, tr), _ray_spec3(1, s, tr)]
+    out_shape = [jax.ShapeDtypeStruct((rp, 1, 3), jnp.float32),
+                 jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((rp, 1, s), jnp.float32)]
+    if want_field:
+        out_specs.append(_ray_spec3(4, s, tr))
+        out_shape.append(jax.ShapeDtypeStruct((rp, 4, s), jnp.float32))
+
+    kernel = functools.partial(_render_kernel, cfg, len(packed), has_time,
+                               tr, s, want_field)
+    outs = pl.pallas_call(
         kernel,
         grid=(rp // tr,),
         in_specs=data_specs
         + [_const_spec(a.shape) for a in enc_args]
         + [_const_spec(wt.shape) for wt in packed],
-        out_specs=[_ray_spec3(1, 3, tr), _ray_spec3(1, 1, tr),
-                   _ray_spec3(1, 1, tr), _ray_spec3(1, s, tr)],
-        out_shape=[jax.ShapeDtypeStruct((rp, 1, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((rp, 1, s), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*data, *enc_args, *packed)
-    return rgb[:r], depth[:r], acc[:r], w[:r]
+    return tuple(o[:r] for o in outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _march_apply(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
-    return _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg)
-
-
-def _march_vjp_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
-    out = _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg)
-    return out, (packed, rays_o, rays_d, emb, z_vals, t)
-
-
-def _march_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
-    packed, rays_o, rays_d, emb, z_vals, t = residuals
-    g_rgb, g_depth, g_acc, g_w = cotangents
+def _march_bwd_call(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig,
+                    cotangents, want_field: bool):
+    """Shared backward dispatch for both march VJPs."""
     interpret = jax.default_backend() != "tpu"
     s = z_vals.shape[-1]
     has_time = t is not None
     # The backward recomputes residuals per tile (same budget as the
     # per-sample train kernel's recompute VJP).
     tr = max(1, _bwd_tile(cfg) // s)
-    (rays_o, rays_d, emb, z_vals, t, g_rgb, g_depth, g_acc, g_w), r = _pad_rays(
-        [rays_o, rays_d, emb, z_vals, t, g_rgb, g_depth, g_acc, g_w], tr)
+    padded, r = _pad_rays([rays_o, rays_d, emb, z_vals, t, *cotangents], tr)
+    rays_o, rays_d, emb, z_vals, t = padded[:5]
+    cots = padded[5:]
     rp = rays_o.shape[0]
     enc_args = _enc_const_args(cfg, has_time)
 
@@ -306,12 +345,14 @@ def _march_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
     if has_time:
         data.append(t)
         data_specs.append(_ray_spec(1, tr))
-    data += [g_rgb, g_depth, g_acc, g_w]
+    data += cots
     data_specs += [_ray_spec3(1, 3, tr), _ray_spec3(1, 1, tr),
                    _ray_spec3(1, 1, tr), _ray_spec3(1, s, tr)]
+    if want_field:
+        data_specs.append(_ray_spec3(4, s, tr))
 
     kernel = functools.partial(_march_bwd_kernel, cfg, len(packed), has_time,
-                               tr, s)
+                               tr, s, want_field)
     outs = pl.pallas_call(
         kernel,
         grid=(rp // tr,),
@@ -333,7 +374,416 @@ def _march_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
             dt)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _march_apply(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
+    return _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg)
+
+
+def _march_vjp_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
+    out = _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg)
+    return out, (packed, rays_o, rays_d, emb, z_vals, t)
+
+
+def _march_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
+    packed, rays_o, rays_d, emb, z_vals, t = residuals
+    return _march_bwd_call(packed, rays_o, rays_d, emb, z_vals, t, cfg,
+                           list(cotangents), want_field=False)
+
+
 _march_apply.defvjp(_march_vjp_fwd, _march_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _march_field_apply(packed, rays_o, rays_d, emb, z_vals, t, cfg: NeRFConfig):
+    """March variant that also returns the per-sample field (R, 4, S) so the
+    hierarchical merged composite can reuse the coarse MLP evaluations."""
+    return _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg,
+                             want_field=True)
+
+
+def _march_field_vjp_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg):
+    out = _march_pallas_fwd(packed, rays_o, rays_d, emb, z_vals, t, cfg,
+                            want_field=True)
+    return out, (packed, rays_o, rays_d, emb, z_vals, t)
+
+
+def _march_field_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
+    packed, rays_o, rays_d, emb, z_vals, t = residuals
+    return _march_bwd_call(packed, rays_o, rays_d, emb, z_vals, t, cfg,
+                           list(cotangents), want_field=True)
+
+
+_march_field_apply.defvjp(_march_field_vjp_fwd, _march_field_vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Hierarchical merged-composite kernel.
+#
+# The naive fine pass re-evaluates the MLP at ALL Sc+Sf depths (reference
+# semantics re-derived in render_rays; the reference itself stubs the pass,
+# src/render.py:83-86).  But the model is ONE network — the field values at
+# the coarse depths were already computed by the coarse pass and are
+# bit-identical on re-evaluation.  This kernel therefore evaluates the field
+# only at the Sf NEW importance depths and composites over the rank-merged
+# Sc+Sf ordering, reusing the coarse values passed in as a (R, 4, Sc) lane
+# tensor.  Hierarchical field FLOPs drop from (Sc + Sc+Sf) to (Sc + Sf)
+# per ray — 64+64 training at ~2x coarse cost instead of 3x.
+#
+# The merge needs no sort: both z lists are already sorted (stratified bins;
+# inverse-CDF of increasing u), so each element's merged position is its own
+# index plus a count of cross-list elements before it — two vector compares —
+# and the permutation is applied as one-hot MXU matmuls (gathers are ~20x
+# slower on TPU, BENCH_NOTES).
+# --------------------------------------------------------------------------
+
+def _merged_tile(cfg: NeRFConfig, has_time: bool, tr: int, sc: int, sf: int,
+                 o, d, emb2, z_c, field_c, z_f, t, enc_consts, p):
+    """Fine field eval + rank-merge + composite on one (TR rays) tile.
+
+    z_c (TR, Sc) and z_f (TR, Sf) must each be sorted per ray.  field_c is
+    (TR, 4, Sc): coarse [r, g, b, sigma] in lane layout.  Returns
+    (rgb_map (TR,1,3), depth, acc (TR,1,1), w (TR,1,S_all), z_all (TR,1,S_all),
+    aux) with aux carrying the in-kernel backward's residuals.
+    """
+    f32 = jnp.float32
+    s_all = sc + sf
+    n_t = tr * sf
+    mp, pp, ip = enc_consts[0], enc_consts[1], enc_consts[2]
+
+    # Field eval at the NEW importance depths only (same encoding trick as
+    # _march_tile: enc(o + z d) = phased-sin of o@M + z*(d@M)).
+    a = jnp.dot(o, mp, preferred_element_type=f32)
+    b = jnp.dot(d, mp, preferred_element_type=f32)
+    y = a[:, None, :] + z_f[..., None] * b[:, None, :]
+    y = y.reshape(n_t, -1)
+    enc_x = jnp.where(ip > 0, y, jnp.sin(y + pp))
+    enc_d = _encode(d, *enc_consts[3:6])
+    enc_d = jnp.broadcast_to(enc_d[:, None, :],
+                             (tr, sf, enc_d.shape[-1])).reshape(n_t, -1)
+    if has_time:
+        enc_t = _encode(t, *enc_consts[6:9])
+        enc_t = jnp.broadcast_to(enc_t[:, None, :], (tr, sf, enc_t.shape[-1]))
+        enc_x = jnp.concatenate([enc_x, enc_t.reshape(n_t, -1)], axis=-1)
+    emb_flat = jnp.broadcast_to(
+        emb2[:, None, :], (tr, sf, emb2.shape[-1])).reshape(n_t, -1)
+    rgb_f, sigma_f, res = _field_from_enc(cfg, enc_x, enc_d, emb_flat, p)
+
+    eye_f = jnp.eye(sf, dtype=f32)
+    rgb_f_l = jax.lax.dot_general(
+        rgb_f.reshape(tr, sf, 3), eye_f,
+        dimension_numbers=(((1,), (0,)), ((), ())))       # (TR, 3, Sf)
+    sigma_f_l = jax.lax.dot_general(
+        sigma_f.reshape(tr, sf, 1), eye_f,
+        dimension_numbers=(((1,), (0,)), ((), ())))       # (TR, 1, Sf)
+
+    # Merge ranks reproducing jnp.sort(concat([z_c, z_f])) with stable ties
+    # (coarse first): rank = own index + strict/non-strict cross counts.
+    i32 = jnp.int32  # Mosaic's iota is integer-only
+    zc3 = z_c[:, :, None]                                 # (TR, Sc, 1)
+    zf3 = z_f[:, None, :]                                 # (TR, 1, Sf)
+    cnt_c = jnp.sum((zf3 < zc3).astype(i32), axis=-1)     # (TR, Sc)
+    cnt_f = jnp.sum((zc3 <= zf3).astype(i32), axis=1)     # (TR, Sf)
+    rank_c = cnt_c + jax.lax.broadcasted_iota(i32, (tr, sc), 1)
+    rank_f = cnt_f + jax.lax.broadcasted_iota(i32, (tr, sf), 1)
+    lane = jax.lax.broadcasted_iota(i32, (tr, 1, s_all), 2)
+    oh_c = (rank_c[:, :, None] == lane).astype(f32)       # (TR, Sc, S_all)
+    oh_f = (rank_f[:, :, None] == lane).astype(f32)       # (TR, Sf, S_all)
+
+    def permute(x_c, x_f):  # (TR,k,Sc) + (TR,k,Sf) -> (TR,k,S_all)
+        return (jax.lax.dot_general(
+                    x_c, oh_c, dimension_numbers=(((2,), (1,)), ((0,), (0,))))
+                + jax.lax.dot_general(
+                    x_f, oh_f, dimension_numbers=(((2,), (1,)), ((0,), (0,)))))
+
+    z_all = permute(z_c[:, None, :], z_f[:, None, :])     # (TR, 1, S_all)
+    rgb_all = permute(field_c[:, :3, :], rgb_f_l)         # (TR, 3, S_all)
+    sigma_all = permute(field_c[:, 3:4, :], sigma_f_l)    # (TR, 1, S_all)
+
+    # Compositing over the merged ordering (numerics of ops.composite).
+    dists = jnp.concatenate(
+        [z_all[..., 1:] - z_all[..., :-1],
+         jnp.full((tr, 1, 1), 1e-3, f32)], axis=-1)
+    alpha = 1.0 - jnp.exp(-sigma_all * dists)
+    triu = jnp.triu(jnp.ones((s_all, s_all), f32), k=1)
+    log_t = jax.lax.dot_general(
+        jnp.log(1.0 - alpha + 1e-10), triu,
+        dimension_numbers=(((2,), (0,)), ((), ())))
+    trans = jnp.exp(log_t)
+    w = alpha * trans
+    acc = jnp.sum(w, axis=-1, keepdims=True)
+    depth = jnp.sum(w * z_all, axis=-1, keepdims=True) / (acc + 1e-10)
+    rgb_map = jax.lax.dot_general(
+        w, rgb_all, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+
+    aux = dict(res=res, rgb_all=rgb_all, alpha=alpha, trans=trans,
+               dists=dists, emb_flat=emb_flat, oh_c=oh_c, oh_f=oh_f,
+               depth=depth, acc=acc, w=w, z_all=z_all)
+    return rgb_map, depth, acc, w, z_all, aux
+
+
+def _merged_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                   tr: int, sc: int, sf: int, *refs):
+    n_data = 7 if has_time else 6
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, zc_ref, fc_ref, zf_ref = ins[:6]
+    t = ins[6][:] if has_time else None
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    rgb_ref, depth_ref, acc_ref, w_ref, zall_ref = outs
+
+    rgb_map, depth, acc, w, z_all, _ = _merged_tile(
+        cfg, has_time, tr, sc, sf, o_ref[:], d_ref[:], emb_ref[:], zc_ref[:],
+        fc_ref[:], zf_ref[:], t, enc_consts, p)
+    rgb_ref[:] = rgb_map
+    depth_ref[:] = depth
+    acc_ref[:] = acc
+    w_ref[:] = w
+    zall_ref[:] = z_all
+
+
+def _merged_bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                       tr: int, sc: int, sf: int, *refs):
+    """Backward of the merged composite: recompute the tile forward, run the
+    compositing transpose over S_all lanes, un-permute the per-sample
+    cotangents back to the coarse/fine partitions (transposed one-hot
+    matmuls), stream the coarse-field cotangent out per tile, and feed the
+    fine side through the shared transposed MLP chain."""
+    n_data = (7 if has_time else 6) + 4
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, zc_ref, fc_ref, zf_ref = ins[:6]
+    t = ins[6][:] if has_time else None
+    g_rgb_ref, g_depth_ref, g_acc_ref, g_w_ref = ins[n_data - 4:n_data]
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    dparam_refs = list(outs[:n_params])
+    demb_ref, gfc_ref = outs[n_params], outs[n_params + 1]
+
+    s_all = sc + sf
+    n_t = tr * sf
+
+    _, depth, acc, w, z_all, aux = _merged_tile(
+        cfg, has_time, tr, sc, sf, o_ref[:], d_ref[:], emb_ref[:], zc_ref[:],
+        fc_ref[:], zf_ref[:], t, enc_consts, p)
+
+    g_rgb_all, g_sigma_all = _composite_bwd_lanes(
+        tr, s_all, g_rgb_ref[:], g_depth_ref[:], g_acc_ref[:], g_w_ref[:],
+        aux["rgb_all"], w, aux["alpha"], aux["trans"], z_all, aux["dists"],
+        depth, acc)
+
+    # Un-permute: x_part = x_all @ oh_part^T (one-hots are orthogonal).
+    oh_c, oh_f = aux["oh_c"], aux["oh_f"]
+
+    def unpermute(g_all, oh):  # (TR,k,S_all) x (TR,Sp,S_all) -> (TR,k,Sp)
+        return jax.lax.dot_general(
+            g_all, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+
+    gfc_ref[:] = jnp.concatenate(
+        [unpermute(g_rgb_all, oh_c), unpermute(g_sigma_all, oh_c)], axis=1)
+
+    g_rgb_f_l = unpermute(g_rgb_all, oh_f)                # (TR, 3, Sf)
+    g_sigma_f_l = unpermute(g_sigma_all, oh_f)            # (TR, 1, Sf)
+    g_rgb_flat = jnp.swapaxes(g_rgb_f_l, 1, 2).reshape(n_t, 3)
+    g_sigma_flat = jnp.swapaxes(g_sigma_f_l, 1, 2).reshape(n_t, 1)
+
+    grads, demb_flat = _field_bwd_from_res(
+        cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
+    demb_ref[:] = jnp.sum(demb_flat.reshape(tr, sf, -1), axis=1)
+    _accumulate_grads(dparam_refs, grads)
+
+
+def _merged_tr(cfg: NeRFConfig, budget: int, sc: int, sf: int) -> int:
+    # field cost scales with Sf; lane tensors with Sc+Sf -> size by their sum.
+    # Pallas requires the sublane block dim be a multiple of 8: clamp there
+    # (the VMEM budget numbers are heuristics; the hard cap is VMEM_LIMIT).
+    tr = max(1, budget // (sf + sc + sf))
+    return max(8, 8 * (tr // 8))
+
+
+def _hier_pallas_fwd(packed, rays_o, rays_d, emb, z_c, field_c, z_f, t,
+                     cfg: NeRFConfig):
+    interpret = jax.default_backend() != "tpu"
+    sc, sf = z_c.shape[-1], z_f.shape[-1]
+    s_all = sc + sf
+    has_time = t is not None
+    budget = RENDER_TILE if cfg.use_bf16 else RENDER_TILE // 2
+    tr = _merged_tr(cfg, budget, sc, sf)
+    (rays_o, rays_d, emb, z_c, field_c, z_f, t), r = _pad_rays(
+        [rays_o, rays_d, emb, z_c, field_c, z_f, t], tr)
+    rp = rays_o.shape[0]
+    enc_args = _enc_const_args(cfg, has_time)
+
+    data = [rays_o, rays_d, emb, z_c, field_c, z_f]
+    data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
+                  _ray_spec(emb.shape[-1], tr), _ray_spec(sc, tr),
+                  _ray_spec3(4, sc, tr), _ray_spec(sf, tr)]
+    if has_time:
+        data.append(t)
+        data_specs.append(_ray_spec(1, tr))
+
+    kernel = functools.partial(_merged_kernel, cfg, len(packed), has_time,
+                               tr, sc, sf)
+    rgb, depth, acc, w, z_all = pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=data_specs
+        + [_const_spec(a.shape) for a in enc_args]
+        + [_const_spec(wt.shape) for wt in packed],
+        out_specs=[_ray_spec3(1, 3, tr), _ray_spec3(1, 1, tr),
+                   _ray_spec3(1, 1, tr), _ray_spec3(1, s_all, tr),
+                   _ray_spec3(1, s_all, tr)],
+        out_shape=[jax.ShapeDtypeStruct((rp, 1, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, 1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, 1, s_all), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, 1, s_all), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*data, *enc_args, *packed)
+    return rgb[:r], depth[:r], acc[:r], w[:r], z_all[:r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _hier_apply(packed, rays_o, rays_d, emb, z_c, field_c, z_f, t,
+                cfg: NeRFConfig):
+    return _hier_pallas_fwd(packed, rays_o, rays_d, emb, z_c, field_c, z_f,
+                            t, cfg)
+
+
+def _hier_vjp_fwd(packed, rays_o, rays_d, emb, z_c, field_c, z_f, t, cfg):
+    out = _hier_pallas_fwd(packed, rays_o, rays_d, emb, z_c, field_c, z_f,
+                           t, cfg)
+    return out, (packed, rays_o, rays_d, emb, z_c, field_c, z_f, t)
+
+
+def _hier_vjp_bwd(cfg: NeRFConfig, residuals, cotangents):
+    packed, rays_o, rays_d, emb, z_c, field_c, z_f, t = residuals
+    g_rgb, g_depth, g_acc, g_w, _g_zall = cotangents  # z is data: cot ignored
+    interpret = jax.default_backend() != "tpu"
+    sc, sf = z_c.shape[-1], z_f.shape[-1]
+    has_time = t is not None
+    tr = _merged_tr(cfg, _bwd_tile(cfg), sc, sf)
+    (rays_o, rays_d, emb, z_c, field_c, z_f, t,
+     g_rgb, g_depth, g_acc, g_w), r = _pad_rays(
+        [rays_o, rays_d, emb, z_c, field_c, z_f, t,
+         g_rgb, g_depth, g_acc, g_w], tr)
+    rp = rays_o.shape[0]
+    s_all = sc + sf
+    enc_args = _enc_const_args(cfg, has_time)
+
+    data = [rays_o, rays_d, emb, z_c, field_c, z_f]
+    data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
+                  _ray_spec(emb.shape[-1], tr), _ray_spec(sc, tr),
+                  _ray_spec3(4, sc, tr), _ray_spec(sf, tr)]
+    if has_time:
+        data.append(t)
+        data_specs.append(_ray_spec(1, tr))
+    data += [g_rgb, g_depth, g_acc, g_w]
+    data_specs += [_ray_spec3(1, 3, tr), _ray_spec3(1, 1, tr),
+                   _ray_spec3(1, 1, tr), _ray_spec3(1, s_all, tr)]
+
+    kernel = functools.partial(_merged_bwd_kernel, cfg, len(packed), has_time,
+                               tr, sc, sf)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=data_specs
+        + [_const_spec(a.shape) for a in enc_args]
+        + [_const_spec(wt.shape) for wt in packed],
+        out_specs=[_const_spec(wt.shape) for wt in packed]
+        + [_ray_spec(emb.shape[-1], tr), _ray_spec3(4, sc, tr)],
+        out_shape=[jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in packed]
+        + [jax.ShapeDtypeStruct((rp, emb.shape[-1]), jnp.float32),
+           jax.ShapeDtypeStruct((rp, 4, sc), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*data, *enc_args, *packed)
+    dpacked = list(outs[:-2])
+    demb, gfc = outs[-2][:r], outs[-1][:r]
+    dt = jnp.zeros((r, 1), jnp.float32) if has_time else None
+    return (dpacked, jnp.zeros((r, 3), jnp.float32),
+            jnp.zeros((r, 3), jnp.float32), demb,
+            jnp.zeros((r, sc), jnp.float32), gfc,
+            jnp.zeros((r, sf), jnp.float32), dt)
+
+
+_hier_apply.defvjp(_hier_vjp_fwd, _hier_vjp_bwd)
+
+
+def _packed_with_emb(params: dict, cfg: NeRFConfig, r: int,
+                     appearance_embedding):
+    """Shared packing: zero appearance projection when no embedding is given
+    (matches nerf_apply(emb=None): the term is skipped, not zero-evaluated)."""
+    if appearance_embedding is None:
+        emb = jnp.zeros((r, cfg.appearance_dim), jnp.float32)
+    else:
+        emb = appearance_embedding.astype(jnp.float32)
+    packed = pack_params(params, cfg)
+    if appearance_embedding is None:
+        i_app = 2 * cfg.num_layers + 4
+        packed[i_app] = jnp.zeros_like(packed[i_app])
+        packed[i_app + 1] = jnp.zeros_like(packed[i_app + 1])
+    return packed, emb
+
+
+def fused_render_rays_coarse_field(params: dict, cfg: NeRFConfig, rays_o,
+                                   rays_d, z_vals, appearance_embedding=None,
+                                   t=None):
+    """Coarse pass for the hierarchical fused path: like
+    fused_render_rays_eval but also returns "field" — the per-sample
+    [r, g, b, sigma] values as (R, 4, Sc) — for reuse by
+    fused_render_rays_merged.  Differentiable (the field output's cotangent
+    flows back through the same recompute VJP)."""
+    r = z_vals.shape[0]
+    packed, emb = _packed_with_emb(params, cfg, r, appearance_embedding)
+    rgb, depth, acc, w, field = _march_field_apply(
+        packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
+        z_vals.astype(jnp.float32),
+        None if t is None else t.astype(jnp.float32), cfg)
+    return {
+        "rgb": rgb[:, 0, :],
+        "depth": depth[:, 0, 0],
+        "acc": acc[:, 0, 0],
+        "weights": w[:, 0, :],
+        "field": field,
+    }
+
+
+def fused_render_rays_merged(params: dict, cfg: NeRFConfig, rays_o, rays_d,
+                             z_coarse, field_coarse, z_fine,
+                             appearance_embedding=None, t=None):
+    """Hierarchical fine pass without re-evaluating the coarse samples.
+
+    Args:
+        z_coarse: (R, Sc) sorted coarse depths.
+        field_coarse: (R, 4, Sc) coarse per-sample [r, g, b, sigma] from
+            fused_render_rays_coarse_field (do NOT stop-gradient: parameter
+            gradients from the fine composite flow back through it).
+        z_fine: (R, Sf) sorted importance depths (sample_pdf output is sorted
+            because its stratified u grid is increasing).
+
+    Returns:
+        dict rgb (R,3), depth (R,), acc (R,), weights (R, Sc+Sf),
+        z_vals (R, Sc+Sf) in merged (sorted) order — numerics identical to
+        evaluating the field at all Sc+Sf depths and compositing.
+    """
+    r = z_coarse.shape[0]
+    packed, emb = _packed_with_emb(params, cfg, r, appearance_embedding)
+    rgb, depth, acc, w, z_all = _hier_apply(
+        packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
+        z_coarse.astype(jnp.float32), field_coarse.astype(jnp.float32),
+        z_fine.astype(jnp.float32),
+        None if t is None else t.astype(jnp.float32), cfg)
+    return {
+        "rgb": rgb[:, 0, :],
+        "depth": depth[:, 0, 0],
+        "acc": acc[:, 0, 0],
+        "weights": w[:, 0, :],
+        "z_vals": z_all[:, 0, :],
+    }
 
 
 def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
@@ -356,19 +806,7 @@ def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
         ray geometry and z receive zero gradients (they are data).
     """
     r = z_vals.shape[0]
-    has_time = t is not None
-
-    if appearance_embedding is None:
-        emb = jnp.zeros((r, cfg.appearance_dim), jnp.float32)
-    else:
-        emb = appearance_embedding.astype(jnp.float32)
-
-    packed = pack_params(params, cfg)
-    if appearance_embedding is None:
-        i_app = 2 * cfg.num_layers + 4
-        packed[i_app] = jnp.zeros_like(packed[i_app])
-        packed[i_app + 1] = jnp.zeros_like(packed[i_app + 1])
-
+    packed, emb = _packed_with_emb(params, cfg, r, appearance_embedding)
     rgb, depth, acc, w = _march_apply(
         packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
         z_vals.astype(jnp.float32),

@@ -132,6 +132,34 @@ def render_rays(
     z_coarse, pts = sample_stratified(
         k_strat, rays_o, rays_d, near, far, n_samples, perturb=perturb
     )
+
+    if fused_composite and n_importance > 0:
+        # Fused hierarchical path: the coarse kernel also emits its per-sample
+        # field values, the importance depths come from the coarse weights,
+        # and the merged kernel field-evals ONLY the new depths — compositing
+        # over the rank-merged order (2x coarse FLOPs instead of 3x; numerics
+        # identical to re-evaluating all samples, see fused_render.py).
+        from danerf_tpu.kernels.fused_render import (
+            fused_render_rays_coarse_field, fused_render_rays_merged)
+
+        coarse = fused_render_rays_coarse_field(
+            params, cfg, rays_o, rays_d, z_coarse, appearance_embedding, t)
+        weights = jax.lax.stop_gradient(coarse["weights"])
+        z_fine = sample_pdf(k_imp, z_coarse, weights, n_importance,
+                            perturb=perturb)
+        fine = fused_render_rays_merged(
+            params, cfg, rays_o, rays_d, z_coarse, coarse["field"],
+            jax.lax.stop_gradient(z_fine), appearance_embedding, t)
+        if background_color is not None:
+            bg = jnp.asarray(background_color, fine["rgb"].dtype)
+            fine["rgb"] = fine["rgb"] + (1.0 - fine["acc"][..., None]) * bg
+            coarse_rgb = coarse["rgb"] + (1.0 - coarse["acc"][..., None]) * bg
+        else:
+            coarse_rgb = coarse["rgb"]
+        fine["coarse_rgb"] = coarse_rgb
+        fine["coarse_depth"] = coarse["depth"]
+        return fine
+
     coarse = eval_composite(z_coarse, pts)
 
     if n_importance <= 0:

@@ -292,3 +292,101 @@ def test_fused_march_gradients_hierarchical():
         assert np.all(np.isfinite(np.asarray(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
                                    rtol=5e-2, err_msg="hier march grads")
+
+
+def test_coarse_field_output_matches_nerf_apply():
+    """fused_render_rays_coarse_field's per-sample field output (R, 4, Sc)
+    must hold exactly the MLP's rgb/sigma at the coarse depths."""
+    from danerf_tpu.kernels.fused_render import fused_render_rays_coarse_field
+    from danerf_tpu.ops.sampling import sample_stratified
+
+    cfg = SMALL
+    params = init_nerf_params(jax.random.key(0), cfg)
+    R, S = 16, 16
+    rays_o, rays_d, emb = _rays(R, cfg)
+    z, pts = sample_stratified(jax.random.key(2), rays_o, rays_d, 2.0, 6.0,
+                               S, perturb=False)
+    out = fused_render_rays_coarse_field(params, cfg, rays_o, rays_d, z, emb)
+    assert out["field"].shape == (R, 4, S)
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    e = jnp.broadcast_to(emb[:, None, :], (R, S, cfg.appearance_dim))
+    rgb_s, sig_s = nerf_apply(params, cfg, pts, dirs, e, None)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(out["field"][:, :3]), 1, 2),
+                               rgb_s, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["field"][:, 3]), sig_s,
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_merged_kernel_equals_full_eval_on_union():
+    """The merged composite (field eval at fine depths only + reuse of coarse
+    values) must equal evaluating the field at ALL union depths — the
+    mathematical identity the 2x-FLOP hierarchical path rests on."""
+    from danerf_tpu.kernels.fused_render import (
+        fused_render_rays_coarse_field, fused_render_rays_eval,
+        fused_render_rays_merged)
+    from danerf_tpu.ops.sampling import sample_stratified
+
+    cfg = SMALL
+    params = init_nerf_params(jax.random.key(0), cfg)
+    R, SC, SF = 16, 16, 8
+    rays_o, rays_d, emb = _rays(R, cfg)
+    z_c, _ = sample_stratified(jax.random.key(2), rays_o, rays_d, 2.0, 6.0,
+                               SC, perturb=True)
+    z_f = jnp.sort(jax.random.uniform(jax.random.key(5), (R, SF),
+                                      minval=2.0, maxval=6.0), axis=-1)
+
+    coarse = fused_render_rays_coarse_field(params, cfg, rays_o, rays_d,
+                                            z_c, emb)
+    merged = fused_render_rays_merged(params, cfg, rays_o, rays_d, z_c,
+                                      coarse["field"], z_f, emb)
+
+    z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
+    ref = fused_render_rays_eval(params, cfg, rays_o, rays_d, z_union, emb)
+
+    np.testing.assert_allclose(merged["z_vals"], z_union, atol=1e-6)
+    for k in ("rgb", "depth", "acc", "weights"):
+        np.testing.assert_allclose(merged[k], ref[k], rtol=3e-5, atol=3e-5,
+                                   err_msg=k)
+
+
+def test_merged_kernel_gradients_equal_full_eval():
+    """Gradients through the merged path (fine cotangents reaching the coarse
+    kernel via the field cotangent) must equal gradients of the full-union
+    evaluation."""
+    from danerf_tpu.kernels.fused_render import (
+        fused_render_rays_coarse_field, fused_render_rays_eval,
+        fused_render_rays_merged)
+    from danerf_tpu.ops.sampling import sample_stratified
+
+    cfg = SMALL
+    params = init_nerf_params(jax.random.key(0), cfg)
+    R, SC, SF = 12, 12, 6
+    rays_o, rays_d, emb = _rays(R, cfg)
+    z_c, _ = sample_stratified(jax.random.key(2), rays_o, rays_d, 2.0, 6.0,
+                               SC, perturb=False)
+    z_f = jnp.sort(jax.random.uniform(jax.random.key(5), (R, SF),
+                                      minval=2.0, maxval=6.0), axis=-1)
+    target = jax.random.uniform(jax.random.key(9), (R, 3))
+
+    def loss_merged(p, e):
+        coarse = fused_render_rays_coarse_field(p, cfg, rays_o, rays_d, z_c, e)
+        out = fused_render_rays_merged(p, cfg, rays_o, rays_d, z_c,
+                                       coarse["field"], z_f, e)
+        return (jnp.mean((out["rgb"] - target) ** 2)
+                + 0.1 * jnp.mean(out["depth"])
+                + 0.1 * jnp.mean((coarse["rgb"] - target) ** 2))
+
+    def loss_union(p, e):
+        z_union = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
+        out = fused_render_rays_eval(p, cfg, rays_o, rays_d, z_union, e)
+        coarse = fused_render_rays_eval(p, cfg, rays_o, rays_d, z_c, e)
+        return (jnp.mean((out["rgb"] - target) ** 2)
+                + 0.1 * jnp.mean(out["depth"])
+                + 0.1 * jnp.mean((coarse["rgb"] - target) ** 2))
+
+    gm = jax.grad(loss_merged, argnums=(0, 1))(params, emb)
+    gu = jax.grad(loss_union, argnums=(0, 1))(params, emb)
+    for a, b in zip(jax.tree_util.tree_leaves(gm), jax.tree_util.tree_leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4, err_msg="merged grads")
