@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of ~20 steps to this dir")
     t.add_argument("--no_pallas", action="store_true",
                    help="disable the fused Pallas kernel (on by default on TPU)")
+    # multi-host runtime (jax.distributed.initialize; SURVEY.md §5.8).  On a
+    # TPU pod all three may be omitted if any one is passed as 'auto'.
+    t.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host training)")
+    t.add_argument("--num_processes", type=int, default=None,
+                   help="total number of hosts")
+    t.add_argument("--process_id", type=int, default=None,
+                   help="this host's index in [0, num_processes)")
 
     # ---- render (reference run.py --mode render) ----
     r = sub.add_parser("render", help="render novel views along a camera path")
@@ -63,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--create_video", action="store_true")
     r.add_argument("--fps", type=int, default=30)
     r.add_argument("--no_pallas", action="store_true")
+    r.add_argument("--chunk", type=int, default=None,
+                   help="rays per device call (default: quality preset)")
+    r.add_argument("--mesh_data", type=int, default=1,
+                   help="shard each frame's rays over this many devices "
+                        "(0 = all devices)")
 
     # ---- spiral (reference render_aligned_spiral.py) ----
     s = sub.add_parser("spiral", help="aligned spiral render + video")
@@ -78,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--width", type=int, default=800)
     s.add_argument("--height", type=int, default=800)
     s.add_argument("--no_pallas", action="store_true")
+    s.add_argument("--mesh_data", type=int, default=1,
+                   help="shard each frame's rays over this many devices "
+                        "(0 = all devices)")
 
     # ---- effects (reference apply_all_shaders.py) ----
     e = sub.add_parser("effects", help="apply effects to rendered frames")
@@ -178,7 +194,37 @@ def _load_checkpoint_params(args, cfg, n_images):
     return params["model"], emb
 
 
+def _make_render_mesh(args):
+    """Optional frame-sharding mesh for render/spiral commands."""
+    if getattr(args, "mesh_data", 1) == 1:
+        return None
+    import jax
+
+    from danerf_tpu.parallel import make_mesh
+
+    data = args.mesh_data or len(jax.devices())
+    if data > len(jax.devices()):
+        print(f"--mesh_data {data} > {len(jax.devices())} devices; "
+              "rendering single-device")
+        return None
+    return make_mesh(data=data, model=1, devices=jax.devices()[:data])
+
+
 def cmd_train(args):
+    # Multi-host init MUST precede any other jax usage (parallel/mesh.py).
+    if (args.coordinator_address is not None or args.num_processes is not None
+            or args.process_id is not None):
+        from danerf_tpu.parallel import initialize_distributed
+
+        coord = args.coordinator_address
+        if coord == "auto":  # TPU pod: resolved from the environment
+            coord = None
+        if initialize_distributed(coord, args.num_processes, args.process_id):
+            import jax
+
+            print(f"distributed: process {jax.process_index()}/"
+                  f"{jax.process_count()}, {len(jax.devices())} global devices")
+
     import jax
     import jax.numpy as jnp
 
@@ -247,7 +293,8 @@ def cmd_render(args):
                 height_range=tuple(args.height_range), effect=args.effect,
                 save_depth=args.save_depth, raw_output=args.raw_output,
                 make_video=args.create_video, fps=args.fps,
-                dataset_width=ds.width, focal=ds.focal)
+                dataset_width=ds.width, focal=ds.focal,
+                chunk=args.chunk, mesh=_make_render_mesh(args))
 
 
 def cmd_spiral(args):
@@ -263,7 +310,8 @@ def cmd_spiral(args):
     render_aligned_spiral(params, cfg, out, appearance_embedding=emb,
                           num_frames=args.frames, fps=args.fps,
                           loops=args.loops, rotation_axis=args.rotation,
-                          height=args.height, width=args.width, focal=ds.focal)
+                          height=args.height, width=args.width, focal=ds.focal,
+                          mesh=_make_render_mesh(args))
 
 
 def cmd_effects(args):

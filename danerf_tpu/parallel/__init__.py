@@ -5,6 +5,7 @@ from danerf_tpu.parallel.mesh import (
     shard_train_state,
     make_sharded_train_step,
     initialize_distributed,
+    process_slice,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "shard_train_state",
     "make_sharded_train_step",
     "initialize_distributed",
+    "process_slice",
 ]

@@ -14,9 +14,19 @@ pod slice with axes ``(data, model)``:
   one reduction.  For an 8x256 MLP this is about capability + dryrun coverage,
   not speed — pure DP is the recommended production mesh.
 
-Multi-host entry is ``initialize_distributed`` -> ``jax.distributed.initialize``;
-per-host data loading stays disjoint because batch sampling keys fold in the
-process index.
+Multi-host entry is ``initialize_distributed`` -> ``jax.distributed.initialize``
+(CLI: ``danerf train --coordinator_address ... --num_processes N
+--process_id i``), after which ``jax.devices()`` is the GLOBAL device list and
+``make_mesh`` spans the slice.  Data disjointness across hosts follows the
+SPMD contract, not key-folding: every process runs the identical jitted
+program, so the batch key (part of the replicated train state) MUST be equal
+everywhere — the globally-identical sampled batch is then constrained to
+``P('data')`` and GSPMD gives each device (hence each host) a disjoint slice
+of it.  Folding ``jax.process_index()`` into an in-jit sampling key would
+break that contract (processes would disagree about the contents of one
+global array).  Host-side work that is NOT under a global jit (whole-frame
+rendering of a camera path) is partitioned per process explicitly — see
+``process_slice``.
 """
 
 from __future__ import annotations
@@ -35,9 +45,32 @@ from danerf_tpu.config import NeRFConfig
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):
-    """Multi-host init (no-op when single-process)."""
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    """Multi-host init (no-op when single-process).
+
+    Call BEFORE any other jax API touches the backend.  On TPU pods the three
+    arguments can all be None (resolved from the TPU environment); explicit
+    values support GPU/CPU clusters and tests.  Returns True when a
+    multi-process runtime was initialized.
+    """
+    if num_processes is not None and num_processes == 1:
+        return False
+    if (coordinator_address is None and num_processes is None
+            and process_id is None):
+        return False
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    return True
+
+
+def process_slice(n_items: int) -> slice:
+    """This process's contiguous share of ``n_items`` host-side work items.
+
+    For work OUTSIDE a global jit (e.g. rendering the frames of a camera
+    path), each host takes a disjoint slice; inside a jit, disjointness is
+    GSPMD's job (see module docstring).
+    """
+    p, n = jax.process_index(), jax.process_count()
+    per = -(-n_items // n)
+    return slice(p * per, min((p + 1) * per, n_items))
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:

@@ -39,11 +39,14 @@ def render_path(params, cfg: NeRFConfig, output_dir: str,
                 fps: int = 30, dataset_width: Optional[int] = None,
                 focal: Optional[float] = None, seed: int = 0,
                 frame_name: str = "rgb_{:03d}.png",
-                chunk: Optional[int] = None) -> list[str]:
+                chunk: Optional[int] = None, mesh=None) -> list[str]:
     """Render frames along a parametric path (reference run.py:63-282).
 
     focal: dataset focal at dataset_width; rescaled for the output width like
-    run.py:199-200.  Returns written rgb paths.
+    run.py:199-200.  With ``mesh`` each frame's rays shard over its 'data'
+    axis; under a multi-process runtime the FRAMES are additionally
+    partitioned per host (disjoint host-side work, parallel/mesh.py
+    process_slice).  Returns written rgb paths.
     """
     os.makedirs(output_dir, exist_ok=True)
 
@@ -64,17 +67,27 @@ def render_path(params, cfg: NeRFConfig, output_dir: str,
     if end_frame is None:
         end_frame = num_frames
 
+    frame_ids = list(range(len(c2ws)))
+    if jax.process_count() > 1 and mesh is None:
+        # multi-host without a global mesh: each host renders a disjoint
+        # slice of the path (with a global mesh all hosts must execute every
+        # frame's sharded program together)
+        from danerf_tpu.parallel.mesh import process_slice
+
+        frame_ids = frame_ids[process_slice(len(frame_ids))]
+
     key = jax.random.key(seed)
     written = []
-    for i, c2w in enumerate(c2ws):
+    for i in frame_ids:
+        c2w = c2ws[i]
         frame_idx = start_frame + i
         if frame_idx >= end_frame:
-            break
+            continue
         rgb, depth, _ = render_frame(
             params, cfg, jax.random.fold_in(key, i), c2w, height, width, focal,
             appearance_embedding=appearance_embedding,
             n_samples=n_samples, n_importance=n_importance, perturb=perturb,
-            chunk=chunk)
+            chunk=chunk, mesh=mesh)
 
         import jax.numpy as jnp
 
@@ -120,7 +133,8 @@ def render_aligned_spiral(params, cfg: NeRFConfig, output_dir: str,
                           fps: int = 60, loops: float = 2.0,
                           rotation_axis: str = "x", height: int = 800,
                           width: int = 800, focal: Optional[float] = None,
-                          make_video: bool = True, seed: int = 0) -> list[str]:
+                          make_video: bool = True, seed: int = 0,
+                          mesh=None) -> list[str]:
     """Aligned spiral render (reference render_aligned_spiral.py:15-208):
     frame_NNNN.png naming, grayscale depth every 10th frame, chunked render
     without perturbation, inline video."""
@@ -134,7 +148,7 @@ def render_aligned_spiral(params, cfg: NeRFConfig, output_dir: str,
     for i, c2w in enumerate(c2ws):
         rgb, depth, _ = render_frame(
             params, cfg, jax.random.fold_in(key, i), c2w, height, width, focal,
-            appearance_embedding=appearance_embedding, perturb=False)
+            appearance_embedding=appearance_embedding, perturb=False, mesh=mesh)
         rgb_u8 = np.clip(np.asarray(rgb) * 255, 0, 255).astype(np.uint8)
         path = os.path.join(output_dir, f"frame_{i:04d}.png")
         _save_png(rgb_u8, path)

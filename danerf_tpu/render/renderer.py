@@ -180,15 +180,22 @@ def render_rays(
     return fine
 
 
-@partial(jax.jit, static_argnames=("cfg", "height", "width", "n_samples", "n_importance", "perturb", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "height", "width", "n_samples",
+                                   "n_importance", "perturb", "chunk", "mesh"))
 def _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
-                      n_samples, n_importance, perturb, chunk):
+                      n_samples, n_importance, perturb, chunk, mesh=None):
     """Whole-frame render as a scan over fixed-size ray chunks.
 
     Replaces the reference's Python chunk loop with per-chunk host syncs
     (run.py:212-228) by a single device program: ``lax.scan`` over chunks keeps
     every chunk's (rays, samples, 256) activations inside one compilation and
     transfers only the final (H, W) images to the host.
+
+    With ``mesh`` (static), each chunk's rays are constrained to
+    ``P('data')`` so GSPMD splits the frame's rays across every device —
+    an 800x800 frame's 640k rays render as per-device tiles instead of on one
+    chip (SURVEY.md §5.7 ray/tile sharding; reference equivalent is the serial
+    chunk loop).
     """
     n_rays = height * width
     n_chunks = -(-n_rays // chunk)
@@ -199,10 +206,17 @@ def _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
     rays_d = rays_d.reshape(n_chunks, chunk, 3)
     keys = jax.random.split(key, n_chunks)
 
+    constrain = lambda x: x
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ray_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, ray_sharding)
+
     def body(_, inp):
         k, ro, rd = inp
         e = None if emb is None else jnp.broadcast_to(emb, (chunk, emb.shape[-1]))
-        out = render_rays(params, cfg, k, ro, rd, e,
+        out = render_rays(params, cfg, k, constrain(ro), constrain(rd), e,
                           n_samples=n_samples, n_importance=n_importance, perturb=perturb,
                           fused_composite=cfg.use_pallas)
         return None, (out["rgb"], out["depth"], out["acc"])
@@ -227,10 +241,13 @@ def render_frame(
     n_importance: Optional[int] = None,
     perturb: bool = False,
     chunk: Optional[int] = None,
+    mesh=None,
 ):
     """Render a full (height, width) frame from camera matrix ``c2w``.
 
-    Returns (rgb [H,W,3] in [0,1], depth [H,W], acc [H,W]) as device arrays.
+    With ``mesh``, the frame's rays are sharded over its 'data' axis (every
+    chunk splits across all devices).  Returns (rgb [H,W,3] in [0,1],
+    depth [H,W], acc [H,W]) as device arrays.
     """
     from danerf_tpu.ops.rays import generate_rays
 
@@ -241,10 +258,13 @@ def render_frame(
     if chunk is None:
         chunk = cfg.render_chunk
     chunk = min(chunk, height * width)
+    if mesh is not None:  # chunks must split evenly over the data axis
+        n_data = mesh.shape.get("data", 1)
+        chunk = -(-chunk // n_data) * n_data
 
     rays_o, rays_d = generate_rays(height, width, focal, jnp.asarray(c2w))
     emb = None
     if cfg.use_appearance and appearance_embedding is not None:
         emb = jnp.asarray(appearance_embedding)
     return _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
-                             n_samples, n_importance, perturb, chunk)
+                             n_samples, n_importance, perturb, chunk, mesh)

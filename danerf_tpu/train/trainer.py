@@ -159,13 +159,13 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
         tp = cfg.mesh_model > 1
         pool = replicate_pool(dataset.device_arrays(cfg.white_background), mesh)
         state = shard_train_state(state, mesh, tensor_parallel=tp)
-        step_full = make_sharded_train_step(cfg, mesh, dataset.height,
-                                            dataset.width, dataset.focal,
-                                            tensor_parallel=tp)
-        step_warm = make_sharded_train_step(cfg, mesh, dataset.height,
-                                            dataset.width, dataset.focal,
-                                            batch_size=min(cfg.warmup_batch_size, cfg.batch_size),
-                                            tensor_parallel=tp)
+        mk = partial(make_sharded_train_step, cfg, mesh, dataset.height,
+                     dataset.width, dataset.focal, tensor_parallel=tp)
+        # same fori_loop step chunking as the single-device path: the mesh
+        # path pays the same ~1.9 ms dispatch floor per call otherwise
+        step_full = mk(steps_per_call=steps_per_call)
+        step_single = mk()
+        step_warm = mk(batch_size=min(cfg.warmup_batch_size, cfg.batch_size))
     else:
         pool = dataset.device_arrays(cfg.white_background)
         step_full = make_train_step(cfg, dataset.height, dataset.width,
@@ -188,15 +188,14 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
             i += 1
         else:
             # advance in scan chunks, never crossing a checkpoint boundary
-            k = min(steps_per_call if mesh is None else 1, n_iters - i)
+            k = min(steps_per_call, n_iters - i)
             if checkpoint_every:
                 k = min(k, checkpoint_every - i % checkpoint_every)
-            if k == steps_per_call and mesh is None:
+            if k == steps_per_call:
                 state, metrics = step_full(state, pool)
             else:
-                fn = step_single if mesh is None else step_full
                 for _ in range(k):
-                    state, metrics = fn(state, pool)
+                    state, metrics = step_single(state, pool)
             i += k
 
         # i advances in steps_per_call chunks offset by the 5-iter warmup, so

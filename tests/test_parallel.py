@@ -143,3 +143,83 @@ def test_sharded_step_with_fused_march(scene):
     for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
                     jax.tree_util.tree_leaves(st_b.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_sharded_steps_per_call_matches_singly_dispatched(scene):
+    """fori_loop-chunked dispatch on the MESH path (3 steps per device call)
+    must equal three single dispatches — the trainer no longer forces
+    1 step/dispatch under a mesh."""
+    mesh = make_mesh(data=8, model=1)
+    pool = replicate_pool(scene.device_arrays(), mesh)
+
+    st_a = shard_train_state(
+        create_train_state(jax.random.key(0), TINY, scene.n_images), mesh)
+    st_b = shard_train_state(
+        create_train_state(jax.random.key(0), TINY, scene.n_images), mesh)
+
+    step_1 = make_sharded_train_step(TINY, mesh, scene.height, scene.width,
+                                     scene.focal)
+    step_3 = make_sharded_train_step(TINY, mesh, scene.height, scene.width,
+                                     scene.focal, steps_per_call=3)
+
+    for _ in range(3):
+        st_a, m_a = step_1(st_a, pool)
+    st_b, m_b = step_3(st_b, pool)
+
+    assert int(st_a.step) == int(st_b.step) == 3
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_render_frame_with_mesh_matches_single(scene):
+    """The production render path (render_frame, used by CLI render/spiral)
+    sharded over 8 devices must reproduce single-device numerics."""
+    from danerf_tpu.render.renderer import render_frame
+
+    mesh = make_mesh(data=8, model=1)
+    st = create_train_state(jax.random.key(0), TINY, scene.n_images)
+    H = W = 16
+
+    rgb1, depth1, acc1 = render_frame(
+        st.params["model"], TINY, jax.random.key(0), scene.c2ws[0], H, W,
+        scene.focal, n_importance=0, perturb=False)
+    rgb8, depth8, acc8 = render_frame(
+        st.params["model"], TINY, jax.random.key(0), scene.c2ws[0], H, W,
+        scene.focal, n_importance=0, perturb=False, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(rgb8), np.asarray(rgb1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth8), np.asarray(depth1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc8), np.asarray(acc1), atol=1e-5)
+
+
+def test_process_slice_partitions_disjointly(monkeypatch):
+    """Host-side work partitioning: the per-process slices must cover
+    [0, n) exactly once for any process count."""
+    from danerf_tpu.parallel import mesh as mesh_mod
+
+    for n_proc in (1, 2, 3, 8):
+        covered = []
+        for pid in range(n_proc):
+            monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+            monkeypatch.setattr(jax, "process_count", lambda n=n_proc: n)
+            covered.extend(range(17)[mesh_mod.process_slice(17)])
+        assert covered == list(range(17)), (n_proc, covered)
+
+
+def test_initialize_distributed_wiring(monkeypatch):
+    """Multi-process args must reach jax.distributed.initialize; the
+    single-process call must be a no-op."""
+    from danerf_tpu.parallel import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a: calls.append(a))
+
+    assert initialize_distributed() is False
+    assert initialize_distributed(num_processes=1) is False
+    assert calls == []
+
+    assert initialize_distributed("host0:1234", 4, 2) is True
+    assert calls == [("host0:1234", 4, 2)]
