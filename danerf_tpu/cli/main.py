@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--num_importance", type=int, default=None)
     ev.add_argument("--out", type=str, default=None, help="write JSON report")
     ev.add_argument("--no_pallas", action="store_true")
+    ev.add_argument("--optimize_embeddings", action="store_true",
+                    help="NeRF-W held-out protocol: per view, fit a fresh "
+                         "appearance embedding on the left half and score "
+                         "the right half")
+    ev.add_argument("--opt_steps", type=int, default=50,
+                    help="embedding-optimization steps per view")
 
     # ---- preview (headless replacement for the Tk/moderngl editors) ----
     pv = sub.add_parser("preview", help="parameter-sweep effect previews")
@@ -155,12 +161,13 @@ def _make_config(args):
     return cfg.replace(**over) if over else cfg
 
 
-def _load_checkpoint_params(args, cfg, n_images):
+def _load_checkpoint_params(args, cfg, n_images, want_table=False):
     """Restore params (+ appearance) for rendering (reference run.py:349-366).
 
     Accepts both this framework's checkpoint directories and the reference's
     torch ``.pt`` files (converted on the fly — migration path for existing
-    trained models).
+    trained models).  With ``want_table`` the third return value is the full
+    (N_img, app_dim) embedding table (or None) for per-view evaluation.
     """
     import jax
 
@@ -183,14 +190,20 @@ def _load_checkpoint_params(args, cfg, n_images):
         if cfg.use_appearance and emb_table is not None:
             emb = emb_table[0]  # reference uses embedding 0 (run.py:205)
         print(f"Imported reference checkpoint (iteration {meta.get('iteration')})")
+        if want_table:
+            return model, emb, emb_table if cfg.use_appearance else None
         return model, emb
 
     template = create_train_state(jax.random.key(0), cfg, n_images)
     state, _ = restore_checkpoint(ckpt, template)
     params = state[0]
     emb = None
+    table = None
     if cfg.use_appearance and "appearance" in params:
-        emb = params["appearance"][0]  # reference uses embedding 0 (run.py:205)
+        table = params["appearance"]
+        emb = table[0]  # reference uses embedding 0 (run.py:205)
+    if want_table:
+        return params["model"], emb, table
     return params["model"], emb
 
 
@@ -335,16 +348,27 @@ def cmd_eval(args):
 
     cfg = _make_config(args)
     ds = load_dataset(cfg, args.split)
-    params, emb = _load_checkpoint_params(args, cfg, ds.n_images)
-    # per-view embeddings when evaluating the training split
-    appearance = None
-    if cfg.use_appearance and emb is not None:
-        import numpy as np
+    params, emb, table = _load_checkpoint_params(args, cfg, ds.n_images,
+                                                 want_table=True)
+    import numpy as np
 
-        appearance = np.asarray(emb)[None].repeat(ds.n_images, 0)
+    appearance = None
+    if cfg.use_appearance:
+        if args.split == "train" and table is not None \
+                and np.shape(table)[0] == ds.n_images:
+            # per-view embeddings: each train view gets the embedding that
+            # was optimized for it
+            appearance = np.asarray(table)
+        elif emb is not None:
+            # held-out views: embedding 0 (reference run.py:205), unless
+            # --optimize_embeddings fits per-view ones
+            appearance = np.asarray(emb)[None].repeat(ds.n_images, 0)
     res = evaluate(params, cfg, ds, appearance=appearance,
-                   max_views=args.max_views, n_importance=args.num_importance)
-    print(json.dumps({k: res[k] for k in ("psnr", "ssim", "mse", "n_views")}))
+                   max_views=args.max_views, n_importance=args.num_importance,
+                   optimize_embeddings=args.optimize_embeddings,
+                   opt_steps=args.opt_steps)
+    print(json.dumps({k: res[k]
+                      for k in ("psnr", "ssim", "mse", "n_views", "protocol")}))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=1)

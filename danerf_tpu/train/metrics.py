@@ -23,21 +23,56 @@ def psnr(mse):
     return -10.0 * jnp.log10(mse)
 
 
-def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
-    """Global-window SSIM between two images (H, W, C) in [0, data_range].
+def _gaussian_win(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    i = np.arange(size) - (size - 1) / 2.0
+    k = np.exp(-(i ** 2) / (2.0 * sigma ** 2))
+    return k / k.sum()
 
-    A single-window SSIM (no 11x11 sliding Gaussian) is enough for eval
-    tracking; the constant choices follow Wang et al. 2004.
+
+def _filt_valid(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2-D correlation with a 1-D kernel, 'valid' region only."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    x = np.tensordot(sliding_window_view(x, k.size, axis=1), k, axes=([2], [0]))
+    return np.tensordot(sliding_window_view(x, k.size, axis=0), k,
+                        axes=([2], [0]))
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0,
+         win_size: int = 11, sigma: float = 1.5) -> float:
+    """Standard SSIM (Wang et al. 2004): 11x11 Gaussian sliding window
+    (sigma 1.5), population statistics, mean over the valid region, averaged
+    over channels — the convention NeRF papers (and
+    skimage.metrics.structural_similarity with gaussian_weights=True,
+    use_sample_covariance=False) report, so numbers here are directly
+    comparable to published tables.
+
+    a, b: (H, W) or (H, W, C) in [0, data_range].
     """
-    a = a.astype(np.float64)
-    b = b.astype(np.float64)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    if min(a.shape[0], a.shape[1]) < win_size:  # tiny images: global window
+        win_size = min(a.shape[0], a.shape[1])
+        if win_size % 2 == 0:
+            win_size -= 1
+    k = _gaussian_win(win_size, sigma)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
-    mu_a, mu_b = a.mean(), b.mean()
-    var_a, var_b = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
-    return float(((2 * mu_a * mu_b + c1) * (2 * cov + c2))
-                 / ((mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)))
+
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c], b[..., c]
+        mu_x = _filt_valid(x, k)
+        mu_y = _filt_valid(y, k)
+        var_x = _filt_valid(x * x, k) - mu_x ** 2
+        var_y = _filt_valid(y * y, k) - mu_y ** 2
+        cov = _filt_valid(x * y, k) - mu_x * mu_y
+        s = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)) / (
+            (mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2))
+        vals.append(s.mean())
+    return float(np.mean(vals))
 
 
 class MetricsLogger:

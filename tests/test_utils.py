@@ -101,3 +101,75 @@ def test_ensure_directories_and_list_checkpoints(tmp_path):
                     state, {"step": 2})
     found = list_checkpoints(str(tmp_path))
     assert "chair" in found and found["chair"].endswith("checkpoint_000002")
+
+
+def test_ssim_standard_window_properties():
+    """11x11 Gaussian sliding-window SSIM (Wang et al. 2004): identity is 1,
+    constant-offset images match the closed form, noise degrades the score,
+    and the sliding window penalizes local structure loss that a global
+    window would hide."""
+    from danerf_tpu.train.metrics import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (32, 32, 3))
+    assert ssim(a, a) == pytest.approx(1.0, abs=1e-9)
+
+    # constant images: mu filters are exact, variances zero ->
+    # ssim = (2 c1 c2 + C1)/(c1^2 + c2^2 + C1) * (C2 / C2)
+    c1v, c2v = 0.3, 0.6
+    want = (2 * c1v * c2v + 0.01 ** 2) / (c1v ** 2 + c2v ** 2 + 0.01 ** 2)
+    got = ssim(np.full((32, 32), c1v), np.full((32, 32), c2v))
+    assert got == pytest.approx(want, rel=1e-9)
+
+    noisy = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+    s_noisy = ssim(a, noisy)
+    assert 0 < s_noisy < 1
+
+    # scrambling pixels preserves global statistics but destroys local
+    # structure: windowed SSIM must fall well below the noisy-copy score
+    scrambled = a.reshape(-1, 3)[rng.permutation(32 * 32)].reshape(a.shape)
+    assert ssim(a, scrambled) < s_noisy
+
+
+def test_ssim_matches_skimage_if_available():
+    pytest.importorskip("skimage")
+    from skimage.metrics import structural_similarity
+
+    from danerf_tpu.train.metrics import ssim
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (48, 48))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    want = structural_similarity(a, b, data_range=1.0, gaussian_weights=True,
+                                 sigma=1.5, use_sample_covariance=False)
+    np.testing.assert_allclose(ssim(a, b), want, atol=2e-4)
+
+
+def test_eval_embedding_optimization_recovers_appearance():
+    """NeRF-W test-time protocol: with a model whose output depends on the
+    appearance embedding, optimizing a fresh embedding on the left half of a
+    view must fit that view better than embedding 0 does."""
+    from danerf_tpu.data import make_synthetic_scene
+    from danerf_tpu.train import create_train_state, make_train_step
+    from danerf_tpu.train.evaluate import evaluate
+
+    cfg = TINY.replace(use_appearance=True, batch_size=256, warmup_iters=0)
+    scene = make_synthetic_scene("train", n_images=2, height=24, width=24)
+    state = create_train_state(jax.random.key(0), cfg, scene.n_images)
+    # a few steps so the model (and embeddings) leave init
+    step = make_train_step(cfg, scene.height, scene.width, scene.focal)
+    pool = scene.device_arrays()
+    for _ in range(30):
+        state, _ = step(state, pool)
+
+    res_opt = evaluate(state.params["model"], cfg, scene, max_views=1,
+                       optimize_embeddings=True, opt_steps=25)
+    assert res_opt["protocol"] == "left-half-optimized, right-half-scored"
+    assert np.isfinite(res_opt["psnr"])
+
+    res_zero = evaluate(state.params["model"], cfg, scene,
+                        appearance=np.zeros((2, cfg.appearance_dim), np.float32),
+                        max_views=1)
+    # the optimized embedding must not be worse than the uninformed zero
+    # embedding by more than noise
+    assert res_opt["psnr"] >= res_zero["psnr"] - 0.5
