@@ -12,7 +12,14 @@ workload take "typically several hours" (README.md:147).  Reading that as 3
 hours on the reference's CUDA GPU gives 30000*1024/10800 ≈ 2,844 rays/s —
 recorded here as the baseline the ratio is computed against.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+That derivation is also cross-checked by MEASUREMENT on this host: the torch
+reference-semantics step (benchmarks/baseline_torch.py) timed at the same
+config runs 534.7 rays/s on this machine's 2-core CPU
+(benchmarks/baseline_measured.json; regenerate with
+``python benchmarks/baseline_torch.py``).  When that file exists the JSON
+line additionally carries ``vs_torch_cpu_same_host``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -88,6 +95,19 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
     }
+
+    # Measured same-host torch-CPU baseline, when recorded (module docstring).
+    import os
+
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "baseline_measured.json")
+    if os.path.exists(measured):
+        try:
+            with open(measured) as f:
+                torch_rays = json.load(f)["value"]
+            result["vs_torch_cpu_same_host"] = round(rays_per_sec / torch_rays, 1)
+        except Exception:
+            pass
 
     # Hierarchical 64+64 (the DEFAULT config and BASELINE configs #2/#3):
     # coarse field+composite kernel emitting per-sample field values,
