@@ -73,3 +73,40 @@ def load_blender_scene(scene_dir: str, split: str = "train",
 
     return RayDataset(images=images, alphas=alphas, c2ws=c2ws,
                       focal=float(focal), near=near, far=far, split=split)
+
+
+def save_blender_scene(dataset: RayDataset, out_dir: str,
+                       split: str | None = None) -> str:
+    """Write a RayDataset to disk in the nerf_synthetic layout.
+
+    Produces transforms_{split}.json + RGBA PNGs exactly as the reference
+    loader consumes them (/root/reference/src/dataset.py:35-41, 159-161), so a
+    procedurally generated scene can round-trip through ``load_blender_scene``
+    — used by the parity harness (examples/parity_chair.py) to exercise the
+    real file-loading path when the real nerf_synthetic data is absent.
+    """
+    from PIL import Image
+
+    split = split or dataset.split
+    img_dir = os.path.join(out_dir, split)
+    os.makedirs(img_dir, exist_ok=True)
+
+    camera_angle_x = 2.0 * np.arctan(0.5 * dataset.width / dataset.focal)
+    frames = []
+    for i in range(dataset.n_images):
+        rgba = np.concatenate(
+            [dataset.images[i], dataset.alphas[i][..., None]], axis=-1)
+        name = f"r_{i}"
+        Image.fromarray(rgba, "RGBA").save(
+            os.path.join(img_dir, name + ".png"))
+        frames.append({
+            "file_path": f"./{split}/{name}",
+            "transform_matrix": np.asarray(
+                dataset.c2ws[i], np.float64).tolist(),
+        })
+
+    meta = {"camera_angle_x": float(camera_angle_x), "frames": frames}
+    path = os.path.join(out_dir, f"transforms_{split}.json")
+    with open(path, "w") as f:
+        json.dump(meta, f)
+    return path
