@@ -81,11 +81,11 @@ def main():
 
     # Flagship config: reference defaults (config.py:10-21), coarse-only like
     # the reference's live train path (its fine pass is stubbed, SURVEY.md §1).
-    # Production path: the fully-fused ray-march custom VJP (field eval AND
-    # compositing in one kernel pair, per-ray HBM I/O; use_fused_train
-    # default) with fori_loop-chunked steps (lax.scan around a Pallas custom
-    # VJP stalls the remote AOT compiler).  Measured 415k rays/s vs 342k for
-    # the per-sample kernel + XLA compositing, same day (BENCH_NOTES.md).
+    # Production path: the SINGLE-PASS fused train kernel (forward + in-kernel
+    # MSE + backward in one pallas_call — 3x forward matmul FLOPs instead of
+    # the custom-VJP route's 4x; kernels/fused_render._train_kernel) with
+    # fori_loop-chunked steps.  Measured 557k rays/s vs 403k for the
+    # fwd-kernel + recompute-bwd-kernel VJP, same day (BENCH_NOTES.md).
     cfg = NeRFConfig(num_importance=0, use_bf16=True, use_pallas=True)
     rays_per_sec = bench_train_step(cfg, iters=20, steps_per_call=10)
 

@@ -417,6 +417,147 @@ _march_field_apply.defvjp(_march_field_vjp_fwd, _march_field_vjp_bwd)
 
 
 # --------------------------------------------------------------------------
+# Single-pass train kernel: forward + MSE + backward in ONE kernel.
+#
+# The custom-VJP train path costs 4x the forward matmul FLOPs: the fwd kernel
+# runs once for the loss value, then the bwd kernel RECOMPUTES the tile
+# forward before the transposed chain (the remat trade).  But the training
+# loss is in-kernel computable — MSE against the ray's target pixel
+# (reference src/train.py:87) — so one kernel can march the tile, form the
+# rgb cotangent g = 2*(rgb - target)/(B*3) on the spot, and run the backward
+# immediately while every residual is still live in VMEM.  Total matmul work
+# drops to 3x forward (fwd once + transposed chain), no recompute, and the
+# loss scalar accumulates across the grid like the parameter grads.
+# Measured same-day A/B at the reference batch: see BENCH_NOTES.
+# --------------------------------------------------------------------------
+
+def _train_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                  tr: int, s: int, n_real: int, *refs):
+    n_data = (5 if has_time else 4) + 1            # + target
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, z_ref, tgt_ref = ins[:5]
+    t = ins[5][:] if has_time else None
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    dparam_refs = list(outs[:n_params])
+    demb_ref, loss_ref = outs[n_params], outs[n_params + 1]
+
+    f32 = jnp.float32
+    n_t = tr * s
+
+    rgb_map, depth, acc, w, aux = _march_tile(
+        cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
+        enc_consts, p)
+    rgb, alpha, trans = aux["rgb"], aux["alpha"], aux["trans"]
+    z_l, dists = aux["z_l"], aux["dists"]
+
+    # Padded rays contribute nothing: mask by global ray index.
+    idx = (pl.program_id(0) * tr
+           + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+    mask = (idx < n_real).astype(f32)
+
+    inv_denom = 1.0 / (n_real * 3.0)
+    diff = (rgb_map - tgt_ref[:][:, None, :]) * mask      # (TR, 1, 3)
+    loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
+    g_rgbmap = (2.0 * inv_denom) * diff
+
+    zero1 = jnp.zeros((tr, 1, 1), f32)
+    eye = jnp.eye(s, dtype=f32)
+    rgb_l = jax.lax.dot_general(
+        rgb.reshape(tr, s, 3), eye,
+        dimension_numbers=(((1,), (0,)), ((), ())))       # (TR, 3, S)
+    g_rgb_l, g_sigma_l = _composite_bwd_lanes(
+        tr, s, g_rgbmap, zero1, zero1, jnp.zeros((tr, 1, s), f32),
+        rgb_l, w, alpha, trans, z_l, dists, depth, acc)
+
+    g_sigma_flat = jnp.swapaxes(g_sigma_l, 1, 2).reshape(n_t, 1)
+    g_rgb_flat = jnp.swapaxes(g_rgb_l, 1, 2).reshape(n_t, 3)
+    grads, demb_flat = _field_bwd_from_res(
+        cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
+    demb_ref[:] = jnp.sum(demb_flat.reshape(tr, s, -1), axis=1)
+    _accumulate_grads(dparam_refs + [loss_ref], grads + [loss_part])
+
+
+def _train_pallas(packed, rays_o, rays_d, emb, z_vals, target, t,
+                  cfg: NeRFConfig):
+    """Dispatch the single-pass train kernel.
+
+    Returns (mse scalar, dpacked list, demb (R, E))."""
+    interpret = jax.default_backend() != "tpu"
+    s = z_vals.shape[-1]
+    has_time = t is not None
+    n_real = rays_o.shape[0]
+    tr = max(1, _bwd_tile(cfg) // s)
+    (rays_o, rays_d, emb, z_vals, target, t), r = _pad_rays(
+        [rays_o, rays_d, emb, z_vals, target, t], tr)
+    rp = rays_o.shape[0]
+    enc_args = _enc_const_args(cfg, has_time)
+
+    data = [rays_o, rays_d, emb, z_vals, target]
+    data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
+                  _ray_spec(emb.shape[-1], tr), _ray_spec(s, tr),
+                  _ray_spec(3, tr)]
+    if has_time:
+        data.append(t)
+        data_specs.append(_ray_spec(1, tr))
+
+    kernel = functools.partial(_train_kernel, cfg, len(packed), has_time,
+                               tr, s, n_real)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=data_specs
+        + [_const_spec(a.shape) for a in enc_args]
+        + [_const_spec(wt.shape) for wt in packed],
+        out_specs=[_const_spec(wt.shape) for wt in packed]
+        + [_ray_spec(emb.shape[-1], tr), _const_spec((1, 1))],
+        out_shape=[jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in packed]
+        + [jax.ShapeDtypeStruct((rp, emb.shape[-1]), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*data, *enc_args, *packed)
+    dpacked, demb, loss = list(outs[:-2]), outs[-2][:r], outs[-1]
+    return loss[0, 0], dpacked, demb
+
+
+def fused_train_loss_grads(params: dict, cfg: NeRFConfig, rays_o, rays_d,
+                           z_vals, target, appearance_embedding=None, t=None):
+    """Single-pass training core: MSE loss + gradients in one kernel.
+
+    Args:
+        params: model param pytree (init_nerf_params layout).
+        rays_o, rays_d: (R, 3), rays_d unit-norm.
+        z_vals: (R, S) sorted per-ray depths (stratified sample output).
+        target: (R, 3) ground-truth pixels.
+        appearance_embedding: optional (R, app_dim) per-ray embedding rows.
+
+    Returns:
+        (mse, model_grads pytree, demb (R, app_dim)) — numerics match
+        ``jax.value_and_grad`` of mean((fused_render_rays_eval(...) - target)^2)
+        up to f32 accumulation order.  demb is the per-RAY embedding
+        cotangent; the caller scatter-adds it into the embedding table.
+    """
+    from danerf_tpu.kernels.fused_mlp import unpack_grads
+
+    r = z_vals.shape[0]
+    packed, emb = _packed_with_emb(params, cfg, r, appearance_embedding)
+    mse, dpacked, demb = _train_pallas(
+        packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
+        z_vals.astype(jnp.float32), target.astype(jnp.float32),
+        None if t is None else t.astype(jnp.float32), cfg)
+    grads = unpack_grads(dpacked, params, cfg)
+    if appearance_embedding is None and "appearance_proj" in params:
+        # emb=None zeroes the projection weights in the forward; its grads
+        # are then meaningless — zero them like the VJP of a skipped term.
+        grads["appearance_proj"] = jax.tree.map(
+            jnp.zeros_like, params["appearance_proj"])
+    return mse, grads, demb
+
+
+# --------------------------------------------------------------------------
 # Hierarchical merged-composite kernel.
 #
 # The naive fine pass re-evaluates the MLP at ALL Sc+Sf depths (reference

@@ -162,7 +162,8 @@ def make_sharded_train_step(cfg: NeRFConfig, mesh: Mesh, height: int, width: int
 
     from danerf_tpu.data.dataset import sample_ray_batch
     from danerf_tpu.train.metrics import psnr
-    from danerf_tpu.train.trainer import TrainState, loss_fn, make_optimizer
+    from danerf_tpu.train.trainer import (TrainState, compute_loss_and_grads,
+                                           make_optimizer)
 
     opt = make_optimizer(cfg)
     batch_sharding = NamedSharding(mesh, P("data"))
@@ -178,7 +179,7 @@ def make_sharded_train_step(cfg: NeRFConfig, mesh: Mesh, height: int, width: int
             batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
                                      batch_size=batch_size)
             batch = constrain(batch)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, aux), grads = compute_loss_and_grads(
                 state.params, cfg, k_render, batch)
             updates, opt_state = opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

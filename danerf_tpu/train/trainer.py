@@ -85,6 +85,59 @@ def loss_fn(params, cfg: NeRFConfig, key, batch):
     return loss, aux
 
 
+def _onepass_loss_grads(params, cfg: NeRFConfig, key, batch):
+    """Single-kernel fused loss + gradients (coarse-only Pallas train path).
+
+    The custom-VJP route runs the forward kernel for the loss value and then a
+    backward kernel that RECOMPUTES the forward (4x forward matmul FLOPs);
+    since the training loss is just MSE against the batch targets (reference
+    src/train.py:87), kernels/fused_render._train_kernel computes loss AND
+    gradients in one pass (3x).  Numerics match value_and_grad(loss_fn) up to
+    f32 accumulation order (asserted in tests/test_kernels.py).
+    """
+    from danerf_tpu.kernels.fused_render import fused_train_loss_grads
+    from danerf_tpu.ops.sampling import sample_stratified
+
+    rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = cfg.near, cfg.far
+    if cfg.scene_aabb is not None:
+        from danerf_tpu.ops.sampling import ray_aabb_bounds
+
+        box = cfg.scene_aabb
+        near, far = ray_aabb_bounds(rays_o, rays_d, box[:3], box[3:],
+                                    cfg.near, cfg.far)
+    # Same key split as render_rays so the one-pass and VJP paths draw
+    # identical stratified jitter.
+    k_strat, _ = jax.random.split(key)
+    z_vals, _ = sample_stratified(k_strat, rays_o, rays_d, near, far,
+                                  cfg.num_samples, perturb=True)
+    emb = None
+    if cfg.use_appearance:
+        emb = params["appearance"][batch["img_idx"]]
+    mse, model_grads, demb = fused_train_loss_grads(
+        params["model"], cfg, rays_o, rays_d, z_vals, batch["rgb"], emb)
+    grads = {"model": model_grads}
+    if cfg.use_appearance:
+        grads["appearance"] = jnp.zeros_like(
+            params["appearance"]).at[batch["img_idx"]].add(demb)
+    return (mse, {"mse": mse}), grads
+
+
+def use_onepass(cfg: NeRFConfig) -> bool:
+    """True when the single-pass fused train kernel serves this config."""
+    return (cfg.use_pallas and cfg.use_fused_train and cfg.num_importance == 0
+            and not cfg.use_time)
+
+
+def compute_loss_and_grads(params, cfg: NeRFConfig, key, batch):
+    """Loss + grads via the fastest path the config allows (shared by the
+    single-device and mesh-sharded train steps)."""
+    if use_onepass(cfg):
+        return _onepass_loss_grads(params, cfg, key, batch)
+    return jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, key, batch)
+
+
 def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
                     batch_size: Optional[int] = None, steps_per_call: int = 1):
     """Build the jitted train step.
@@ -107,7 +160,7 @@ def make_train_step(cfg: NeRFConfig, height: int, width: int, focal: float,
             k_batch, k_render, k_next = jax.random.split(state.key, 3)
             batch = sample_ray_batch(k_batch, pool, cfg, height, width, focal,
                                      batch_size=batch_size)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, aux), grads = compute_loss_and_grads(
                 state.params, cfg, k_render, batch)
             updates, opt_state = opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

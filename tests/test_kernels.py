@@ -390,3 +390,71 @@ def test_merged_kernel_gradients_equal_full_eval():
     for a, b in zip(jax.tree_util.tree_leaves(gm), jax.tree_util.tree_leaves(gu)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4, err_msg="merged grads")
+
+
+@pytest.mark.parametrize("use_app", [True, False], ids=["app", "noapp"])
+def test_onepass_train_kernel_matches_vjp_path(use_app):
+    """The single-pass train kernel (forward + in-kernel MSE + backward in one
+    pallas_call, kernels/fused_render._train_kernel) must reproduce the
+    loss AND gradients of value_and_grad through the custom-VJP path, for a
+    ray count that is not a tile multiple (exercises the in-kernel padding
+    mask)."""
+    from danerf_tpu.models import init_appearance_embeddings
+    from danerf_tpu.train.trainer import _onepass_loss_grads, loss_fn
+
+    cfg = SMALL.replace(use_pallas=True, use_fused_train=True,
+                        num_importance=0, num_samples=16,
+                        use_appearance=use_app)
+    params = {"model": init_nerf_params(jax.random.key(0), cfg)}
+    n_img = 5
+    if use_app:
+        params["appearance"] = init_appearance_embeddings(
+            jax.random.key(1), n_img, cfg.appearance_dim)
+
+    n = 24  # not a multiple of the (bwd_tile // s) ray tile
+    rays_o, rays_d, _ = _rays(n, cfg)
+    batch = {
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+        "rgb": jax.random.uniform(jax.random.key(3), (n, 3)),
+        "img_idx": jax.random.randint(jax.random.key(4), (n,), 0, n_img),
+    }
+    key = jax.random.key(7)
+
+    (l1, aux1), g1 = _onepass_loss_grads(params, cfg, key, batch)
+    (l2, aux2), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, key, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(aux1["mse"]), float(aux2["mse"]), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    assert [p for p, _ in flat1] == [p for p, _ in flat2]
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"onepass grad {path}")
+
+
+def test_onepass_train_kernel_with_aabb():
+    """One-pass path under scene_aabb bound tightening matches the VJP path."""
+    from danerf_tpu.train.trainer import _onepass_loss_grads, loss_fn
+
+    cfg = SMALL.replace(use_pallas=True, use_fused_train=True,
+                        num_importance=0, num_samples=16,
+                        use_appearance=False,
+                        scene_aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5))
+    params = {"model": init_nerf_params(jax.random.key(0), cfg)}
+    n = 32
+    rays_o, rays_d, _ = _rays(n, cfg)
+    batch = {
+        "rays_o": rays_o, "rays_d": rays_d,
+        "rgb": jax.random.uniform(jax.random.key(3), (n, 3)),
+        "img_idx": jnp.zeros((n,), jnp.int32),
+    }
+    key = jax.random.key(11)
+    (l1, _), g1 = _onepass_loss_grads(params, cfg, key, batch)
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, key, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg="onepass aabb grads")
