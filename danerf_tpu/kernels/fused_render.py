@@ -736,6 +736,140 @@ def _merged_bwd_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
     _accumulate_grads(dparam_refs, grads)
 
 
+def _merged_train_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                         tr: int, sc: int, sf: int, n_real: int, *refs):
+    """Single-pass hierarchical fine stage: merged fwd + in-kernel fine MSE +
+    backward in one kernel (the hier analogue of _train_kernel).  Streams the
+    coarse-field cotangent out so the caller can feed the coarse pass's
+    custom VJP; the merged forward is never recomputed."""
+    n_data = (7 if has_time else 6) + 1              # + target
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, zc_ref, fc_ref, zf_ref, tgt_ref = ins[:7]
+    t = ins[7][:] if has_time else None
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    dparam_refs = list(outs[:n_params])
+    demb_ref, gfc_ref, loss_ref = outs[n_params:]
+
+    f32 = jnp.float32
+    s_all = sc + sf
+    n_t = tr * sf
+
+    rgb_map, depth, acc, w, z_all, aux = _merged_tile(
+        cfg, has_time, tr, sc, sf, o_ref[:], d_ref[:], emb_ref[:], zc_ref[:],
+        fc_ref[:], zf_ref[:], t, enc_consts, p)
+
+    idx = (pl.program_id(0) * tr
+           + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+    mask = (idx < n_real).astype(f32)
+    inv_denom = 1.0 / (n_real * 3.0)
+    diff = (rgb_map - tgt_ref[:][:, None, :]) * mask
+    loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
+    g_rgbmap = (2.0 * inv_denom) * diff
+
+    zero1 = jnp.zeros((tr, 1, 1), f32)
+    g_rgb_all, g_sigma_all = _composite_bwd_lanes(
+        tr, s_all, g_rgbmap, zero1, zero1, jnp.zeros((tr, 1, s_all), f32),
+        aux["rgb_all"], w, aux["alpha"], aux["trans"], z_all, aux["dists"],
+        depth, acc)
+
+    oh_c, oh_f = aux["oh_c"], aux["oh_f"]
+
+    def unpermute(g_all, oh):  # (TR,k,S_all) x (TR,Sp,S_all) -> (TR,k,Sp)
+        return jax.lax.dot_general(
+            g_all, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+
+    gfc_ref[:] = jnp.concatenate(
+        [unpermute(g_rgb_all, oh_c), unpermute(g_sigma_all, oh_c)], axis=1)
+
+    g_rgb_f_l = unpermute(g_rgb_all, oh_f)
+    g_sigma_f_l = unpermute(g_sigma_all, oh_f)
+    g_rgb_flat = jnp.swapaxes(g_rgb_f_l, 1, 2).reshape(n_t, 3)
+    g_sigma_flat = jnp.swapaxes(g_sigma_f_l, 1, 2).reshape(n_t, 1)
+
+    grads, demb_flat = _field_bwd_from_res(
+        cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
+    demb_ref[:] = jnp.sum(demb_flat.reshape(tr, sf, -1), axis=1)
+    _accumulate_grads(dparam_refs + [loss_ref], grads + [loss_part])
+
+
+def _merged_train_pallas(packed, rays_o, rays_d, emb, z_c, field_c, z_f,
+                         target, t, cfg: NeRFConfig):
+    """Dispatch the single-pass merged train kernel.
+
+    Returns (mse_fine, dpacked, demb (R,E), g_field (R,4,Sc))."""
+    interpret = jax.default_backend() != "tpu"
+    sc, sf = z_c.shape[-1], z_f.shape[-1]
+    s_all = sc + sf
+    has_time = t is not None
+    n_real = rays_o.shape[0]
+    tr = _merged_tr(cfg, _bwd_tile(cfg), sc, sf)
+    (rays_o, rays_d, emb, z_c, field_c, z_f, target, t), r = _pad_rays(
+        [rays_o, rays_d, emb, z_c, field_c, z_f, target, t], tr)
+    rp = rays_o.shape[0]
+    enc_args = _enc_const_args(cfg, has_time)
+
+    data = [rays_o, rays_d, emb, z_c, field_c, z_f, target]
+    data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
+                  _ray_spec(emb.shape[-1], tr), _ray_spec(sc, tr),
+                  _ray_spec3(4, sc, tr), _ray_spec(sf, tr), _ray_spec(3, tr)]
+    if has_time:
+        data.append(t)
+        data_specs.append(_ray_spec(1, tr))
+
+    kernel = functools.partial(_merged_train_kernel, cfg, len(packed),
+                               has_time, tr, sc, sf, n_real)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=data_specs
+        + [_const_spec(a.shape) for a in enc_args]
+        + [_const_spec(wt.shape) for wt in packed],
+        out_specs=[_const_spec(wt.shape) for wt in packed]
+        + [_ray_spec(emb.shape[-1], tr), _ray_spec3(4, sc, tr),
+           _const_spec((1, 1))],
+        out_shape=[jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in packed]
+        + [jax.ShapeDtypeStruct((rp, emb.shape[-1]), jnp.float32),
+           jax.ShapeDtypeStruct((rp, 4, sc), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*data, *enc_args, *packed)
+    dpacked = list(outs[:-3])
+    demb, gfc, loss = outs[-3][:r], outs[-2][:r], outs[-1]
+    return loss[0, 0], dpacked, demb, gfc
+
+
+def fused_hier_train_loss_grads(params: dict, cfg: NeRFConfig, rays_o, rays_d,
+                                z_coarse, field_coarse, z_fine, target,
+                                appearance_embedding=None, t=None):
+    """Single-pass fine stage of hierarchical training.
+
+    Like fused_train_loss_grads but over the rank-merged coarse+fine samples,
+    reusing the coarse field values.  Returns (mse_fine, fine-side model
+    grads, demb (R,E), g_field (R,4,Sc)); the caller feeds ``g_field`` (plus
+    the coarse rgb loss cotangent) to the coarse pass's custom VJP so the
+    TOTAL parameter gradient matches autodiff of
+    mse(merged) + w*mse(coarse) exactly.
+    """
+    from danerf_tpu.kernels.fused_mlp import unpack_grads
+
+    r = z_coarse.shape[0]
+    packed, emb = _packed_with_emb(params, cfg, r, appearance_embedding)
+    mse, dpacked, demb, gfc = _merged_train_pallas(
+        packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
+        z_coarse.astype(jnp.float32), field_coarse.astype(jnp.float32),
+        z_fine.astype(jnp.float32), target.astype(jnp.float32),
+        None if t is None else t.astype(jnp.float32), cfg)
+    grads = unpack_grads(dpacked, params, cfg)
+    if appearance_embedding is None and "appearance_proj" in params:
+        grads["appearance_proj"] = jax.tree.map(
+            jnp.zeros_like, params["appearance_proj"])
+    return mse, grads, demb, gfc
+
+
 def _merged_tr(cfg: NeRFConfig, budget: int, sc: int, sf: int) -> int:
     # field cost scales with Sf; lane tensors with Sc+Sf -> size by their sum.
     # Pallas requires the sublane block dim be a multiple of 8: clamp there

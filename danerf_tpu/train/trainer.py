@@ -124,16 +124,87 @@ def _onepass_loss_grads(params, cfg: NeRFConfig, key, batch):
     return (mse, {"mse": mse}), grads
 
 
+def _onepass_hier_loss_grads(params, cfg: NeRFConfig, key, batch):
+    """Hierarchical single-pass training: the merged fine stage computes its
+    MSE and backward in one kernel (kernels/fused_render._merged_train_kernel,
+    no forward recompute), emitting the coarse-field cotangent; the coarse
+    pass stays on its custom VJP, fed that cotangent plus the coarse rgb loss
+    term.  Total gradient matches autodiff of mse(fine) + w*mse(coarse)."""
+    from danerf_tpu.kernels.fused_render import (
+        fused_hier_train_loss_grads, fused_render_rays_coarse_field)
+    from danerf_tpu.ops.sampling import sample_pdf, sample_stratified
+
+    rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = cfg.near, cfg.far
+    if cfg.scene_aabb is not None:
+        from danerf_tpu.ops.sampling import ray_aabb_bounds
+
+        box = cfg.scene_aabb
+        near, far = ray_aabb_bounds(rays_o, rays_d, box[:3], box[3:],
+                                    cfg.near, cfg.far)
+    k_strat, k_imp = jax.random.split(key)
+    z_c, _ = sample_stratified(k_strat, rays_o, rays_d, near, far,
+                               cfg.num_samples, perturb=True)
+    emb = None
+    if cfg.use_appearance:
+        emb = params["appearance"][batch["img_idx"]]
+
+    if emb is not None:
+        coarse, coarse_vjp = jax.vjp(
+            lambda pm, e: fused_render_rays_coarse_field(
+                pm, cfg, rays_o, rays_d, z_c, e), params["model"], emb)
+    else:
+        coarse, coarse_vjp = jax.vjp(
+            lambda pm: fused_render_rays_coarse_field(
+                pm, cfg, rays_o, rays_d, z_c, None), params["model"])
+
+    weights = jax.lax.stop_gradient(coarse["weights"])
+    z_f = jax.lax.stop_gradient(
+        sample_pdf(k_imp, z_c, weights, cfg.num_importance, perturb=True))
+
+    mse_fine, grads_f, demb_f, g_field = fused_hier_train_loss_grads(
+        params["model"], cfg, rays_o, rays_d, z_c, coarse["field"], z_f,
+        batch["rgb"], emb)
+
+    n = batch["rgb"].shape[0]
+    cw = cfg.coarse_loss_weight
+    diff_c = coarse["rgb"] - batch["rgb"]
+    mse_coarse = jnp.mean(diff_c ** 2)
+    cot = {
+        "rgb": (2.0 * cw / (n * 3.0)) * diff_c,
+        "depth": jnp.zeros_like(coarse["depth"]),
+        "acc": jnp.zeros_like(coarse["acc"]),
+        "weights": jnp.zeros_like(coarse["weights"]),
+        "field": g_field,
+    }
+    if emb is not None:
+        grads_c, demb_c = coarse_vjp(cot)
+        demb = demb_f + demb_c
+    else:
+        (grads_c,) = coarse_vjp(cot)
+        demb = demb_f
+    model_grads = jax.tree.map(jnp.add, grads_f, grads_c)
+
+    loss = mse_fine + cw * mse_coarse
+    grads = {"model": model_grads}
+    if cfg.use_appearance:
+        grads["appearance"] = jnp.zeros_like(
+            params["appearance"]).at[batch["img_idx"]].add(demb)
+    return (loss, {"mse": mse_fine, "coarse_mse": mse_coarse}), grads
+
+
 def use_onepass(cfg: NeRFConfig) -> bool:
-    """True when the single-pass fused train kernel serves this config."""
-    return (cfg.use_pallas and cfg.use_fused_train and cfg.num_importance == 0
-            and not cfg.use_time)
+    """True when the single-pass fused train kernels serve this config."""
+    return cfg.use_pallas and cfg.use_fused_train and not cfg.use_time
 
 
 def compute_loss_and_grads(params, cfg: NeRFConfig, key, batch):
     """Loss + grads via the fastest path the config allows (shared by the
     single-device and mesh-sharded train steps)."""
     if use_onepass(cfg):
+        if cfg.num_importance > 0:
+            return _onepass_hier_loss_grads(params, cfg, key, batch)
         return _onepass_loss_grads(params, cfg, key, batch)
     return jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, key, batch)
 

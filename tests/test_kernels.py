@@ -458,3 +458,41 @@ def test_onepass_train_kernel_with_aabb():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-4, err_msg="onepass aabb grads")
+
+
+def test_onepass_hier_train_matches_vjp_path():
+    """Hierarchical single-pass training (merged fwd+MSE+bwd in one kernel +
+    coarse custom VJP fed the in-kernel g_field) must reproduce
+    value_and_grad through the fused hier path for loss AND every grad leaf,
+    including the coarse auxiliary loss term."""
+    from danerf_tpu.models import init_appearance_embeddings
+    from danerf_tpu.train.trainer import _onepass_hier_loss_grads, loss_fn
+
+    cfg = SMALL.replace(use_pallas=True, use_fused_train=True,
+                        num_samples=16, num_importance=8,
+                        coarse_loss_weight=1.0)
+    params = {"model": init_nerf_params(jax.random.key(0), cfg),
+              "appearance": init_appearance_embeddings(
+                  jax.random.key(1), 5, cfg.appearance_dim)}
+    n = 24  # not a tile multiple: exercises the merged kernel's ray mask
+    rays_o, rays_d, _ = _rays(n, cfg)
+    batch = {
+        "rays_o": rays_o, "rays_d": rays_d,
+        "rgb": jax.random.uniform(jax.random.key(3), (n, 3)),
+        "img_idx": jax.random.randint(jax.random.key(4), (n,), 0, 5),
+    }
+    key = jax.random.key(13)
+
+    (l1, aux1), g1 = _onepass_hier_loss_grads(params, cfg, key, batch)
+    (l2, aux2), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, key, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(aux1["mse"]), float(aux2["mse"]), rtol=1e-5)
+    np.testing.assert_allclose(float(aux1["coarse_mse"]),
+                               float(aux2["coarse_mse"]), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    assert [p for p, _ in flat1] == [p for p, _ in flat2]
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"hier onepass {path}")
