@@ -72,7 +72,12 @@ def pack_params(params: dict, cfg: NeRFConfig):
     arrs = []
     for layer in params["trunk"]:
         arrs += [layer["w"], layer["b"].reshape(1, -1)]
-    arrs += [params["density"]["w"], params["density"]["b"].reshape(1, -1)]
+    # Density weight travels TRANSPOSED, (1, hidden): its head is computed on
+    # the VPU (broadcast-multiply + lane reduction) because a (N,256)@(256,1)
+    # matmul pads the single output lane to 128 on the MXU — 128x wasted MACs
+    # in the forward and again in each of its two backward matmuls.
+    arrs += [params["density"]["w"].reshape(1, -1),
+             params["density"]["b"].reshape(1, -1)]
     arrs += [params["dir"]["w"], params["dir"]["b"].reshape(1, -1)]
     app = params.get("appearance_proj")
     if app is not None:
@@ -91,9 +96,10 @@ def unpack_grads(grads: list, params: dict, cfg: NeRFConfig) -> dict:
     for _ in params["trunk"]:
         w, b = next(it), next(it)
         out["trunk"].append({"w": w, "b": b.reshape(-1)})
-    for name in ["density", "dir"]:
-        w, b = next(it), next(it)
-        out[name] = {"w": w, "b": b.reshape(-1)}
+    w, b = next(it), next(it)
+    out["density"] = {"w": w.reshape(-1, 1), "b": b.reshape(-1)}
+    w, b = next(it), next(it)
+    out["dir"] = {"w": w, "b": b.reshape(-1)}
     w, b = next(it), next(it)
     if "appearance_proj" in params:
         out["appearance_proj"] = {"w": w, "b": b.reshape(-1)}
@@ -161,17 +167,24 @@ def _field_from_enc(cfg: NeRFConfig, enc_x, enc_d, emb, p):
 
     hs = []      # post-relu trunk activations
     ins = []     # layer inputs (possibly concat with enc_x)
+    gates = []   # relu masks (bool), saved so the backward's gate is one
+    #            # select instead of cast-to-f32 + compare per layer
+    #            # (Mosaic has no bf16 vector compare)
     h = enc_x
     for i in range(n_layers):
         if i in cfg.skip_connect_layers and i > 0:
             h = jnp.concatenate([h, enc_x], axis=-1)
         ins.append(h)
         w, b = p[2 * i], p[2 * i + 1]
-        h = jax.nn.relu(_dot(h, w, cdt) + b).astype(cdt)
+        pre = _dot(h, w, cdt) + b                    # f32 accumulate
+        gates.append(pre > 0)
+        h = jax.nn.relu(pre).astype(cdt)
         hs.append(h)
 
-    wd, bd = p[2 * n_layers], p[2 * n_layers + 1]
-    sigma_pre = _dot(h, wd, cdt) + bd
+    wd, bd = p[2 * n_layers], p[2 * n_layers + 1]   # wd (1, hidden): see pack
+    # VPU head: f32 products (more accurate than the MXU's bf16 multiply) and
+    # a lane reduction; runs concurrently with the dir-branch MXU matmul.
+    sigma_pre = jnp.sum(h.astype(jnp.float32) * wd, axis=-1, keepdims=True) + bd
     sigma = jax.nn.relu(sigma_pre)
 
     wdir, bdir = p[2 * n_layers + 2], p[2 * n_layers + 3]
@@ -185,8 +198,9 @@ def _field_from_enc(cfg: NeRFConfig, enc_x, enc_d, emb, p):
     wrgb, brgb = p[2 * n_layers + 6], p[2 * n_layers + 7]
     rgb = jax.nn.sigmoid(_dot(happ, wrgb, cdt) + brgb)
 
-    res = dict(enc_x=enc_x, enc_d=enc_d, hs=hs, ins=ins, sigma_pre=sigma_pre,
-               dcat=dcat, hdir_pre=hdir_pre, hdir=hdir, happ=happ, rgb=rgb)
+    res = dict(enc_x=enc_x, enc_d=enc_d, hs=hs, ins=ins, gates=gates,
+               sigma_pre=sigma_pre, dcat=dcat, hdir_pre=hdir_pre, hdir=hdir,
+               happ=happ, rgb=rgb)
     return rgb, sigma, res
 
 
@@ -292,18 +306,20 @@ def _field_bwd_from_res(cfg: NeRFConfig, n_params: int, p, r, emb,
     grads[2 * n_layers + 3] = jnp.sum(d_hdir_pre, axis=0, keepdims=True)
     d_h = dot_wT(d_hdir_pre, wdir)[:, :hidden]  # enc_d part is data
 
-    # density head: sigma = relu(h8 @ Wd + bd)
+    # density head: sigma = relu(sum(h8 * wd) + bd), wd packed (1, hidden).
+    # All three density grads/upstreams stay on the VPU (see pack_params).
     wd = p[2 * n_layers]
-    d_sigma_pre = g_sigma * (r["sigma_pre"] > 0)
-    grads[2 * n_layers] = dotT_a(r["hs"][-1], d_sigma_pre)
+    d_sigma_pre = g_sigma * (r["sigma_pre"] > 0)           # (N, 1)
+    grads[2 * n_layers] = jnp.sum(
+        r["hs"][-1].astype(jnp.float32) * d_sigma_pre, axis=0, keepdims=True)
     grads[2 * n_layers + 1] = jnp.sum(d_sigma_pre, axis=0, keepdims=True)
-    d_h = d_h + dot_wT(d_sigma_pre, wd)
+    d_h = d_h + d_sigma_pre * wd
 
     # trunk, reversed, dropping skip-concat grads into the previous layer
     for i in range(n_layers - 1, -1, -1):
         w = p[2 * i]
-        # gate mask in f32: Mosaic has no bf16 vector compare
-        d_pre = d_h * (r["hs"][i].astype(jnp.float32) > 0)
+        # gate saved from the forward: one select instead of cast + compare
+        d_pre = jnp.where(r["gates"][i], d_h, 0.0)
         grads[2 * i] = dotT_a(r["ins"][i], d_pre)
         grads[2 * i + 1] = jnp.sum(d_pre, axis=0, keepdims=True)
         if i > 0:
