@@ -496,3 +496,49 @@ def test_onepass_hier_train_matches_vjp_path():
     for (path, a), (_, b) in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=1e-4, err_msg=f"hier onepass {path}")
+
+
+def test_onepass_train_kernel_bf16_runs_and_learns():
+    """The PRODUCTION config runs bf16 kernels; CI otherwise only exercises
+    f32.  The bf16 one-pass step must produce finite loss/grads that agree
+    with the f32 path to bf16 tolerance, and a few optimizer steps must
+    reduce the loss."""
+    import optax
+
+    from danerf_tpu.train.trainer import _onepass_loss_grads, loss_fn
+
+    cfg16 = SMALL.replace(use_pallas=True, use_fused_train=True,
+                          num_importance=0, num_samples=16,
+                          use_appearance=False, use_bf16=True)
+    cfg32 = cfg16.replace(use_bf16=False)
+    params = {"model": init_nerf_params(jax.random.key(0), cfg16)}
+    n = 32
+    rays_o, rays_d, _ = _rays(n, cfg16)
+    batch = {
+        "rays_o": rays_o, "rays_d": rays_d,
+        "rgb": jax.random.uniform(jax.random.key(3), (n, 3)),
+        "img_idx": jnp.zeros((n,), jnp.int32),
+    }
+    key = jax.random.key(5)
+    (l16, _), g16 = _onepass_loss_grads(params, cfg16, key, batch)
+    (l32, _), g32 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg32, key, batch)
+    assert np.isfinite(float(l16))
+    np.testing.assert_allclose(float(l16), float(l32), rtol=5e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(g16),
+                    jax.tree_util.tree_leaves(g32)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        # bf16 matmuls vs f32: loose agreement, same direction
+        denom = np.maximum(np.abs(np.asarray(b)), 1e-3)
+        assert np.median(np.abs(np.asarray(a) - np.asarray(b)) / denom) < 0.15
+
+    opt = optax.adam(1e-2)
+    ostate = opt.init(params)
+    losses = []
+    for i in range(8):
+        (l, _), g = _onepass_loss_grads(params, cfg16,
+                                        jax.random.fold_in(key, i), batch)
+        upd, ostate = opt.update(g, ostate, params)
+        params = optax.apply_updates(params, upd)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
