@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--profile", type=str, default=None,
                    help="capture a jax.profiler trace of ~20 steps to this dir")
+    t.add_argument("--density_activation", type=str, default=None,
+                   choices=["relu", "softplus"],
+                   help="density head activation (default relu = reference; "
+                        "softplus avoids born-dead seeds, see config.py)")
+    t.add_argument("--density_bias_init", type=float, default=None,
+                   help="added to the density bias at init (e.g. 0.5 to "
+                        "start the head alive)")
     t.add_argument("--no_pallas", action="store_true",
                    help="disable the fused Pallas kernel (on by default on TPU)")
     # multi-host runtime (jax.distributed.initialize; SURVEY.md §5.8).  On a
@@ -154,6 +161,10 @@ def _make_config(args):
         over["use_appearance"] = False
     if getattr(args, "num_importance", None) is not None:
         over["num_importance"] = args.num_importance
+    if getattr(args, "density_activation", None):
+        over["density_activation"] = args.density_activation
+    if getattr(args, "density_bias_init", None) is not None:
+        over["density_bias_init"] = args.density_bias_init
     # fused kernel by default on real TPU (fastest path, 20x faster compiles);
     # CPU keeps XLA (pallas would run interpreted there)
     if jax.default_backend() == "tpu" and not getattr(args, "no_pallas", False):

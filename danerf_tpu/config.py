@@ -27,6 +27,18 @@ class NeRFConfig:
     num_samples: int = 64        # coarse samples per ray
     num_importance: int = 64     # fine (importance) samples per ray
 
+    # --- density head robustness (new; defaults are reference-exact) ---
+    # The reference's ReLU density head under torch-default init can be BORN
+    # DEAD: for some PRNG seeds sigma_pre < 0 at every visible point, the
+    # relu gate zeroes every gradient, and training never moves (observed:
+    # 1 of 3 seeds on the parity scene, examples/parity_report.json; the
+    # torch semantics carry the same hazard).  Mitigations, both off by
+    # default to preserve parity with /root/reference/src/models.py:93:
+    #   density_bias_init > 0 shifts the head alive at init (e.g. 0.5);
+    #   density_activation = "softplus" has no hard-zero gradient region.
+    density_activation: str = "relu"       # "relu" | "softplus"
+    density_bias_init: float = 0.0
+
     # --- appearance embedding (reference config.py:17-18) ---
     use_appearance: bool = True
     appearance_dim: int = 32

@@ -185,7 +185,10 @@ def _field_from_enc(cfg: NeRFConfig, enc_x, enc_d, emb, p):
     # VPU head: f32 products (more accurate than the MXU's bf16 multiply) and
     # a lane reduction; runs concurrently with the dir-branch MXU matmul.
     sigma_pre = jnp.sum(h.astype(jnp.float32) * wd, axis=-1, keepdims=True) + bd
-    sigma = jax.nn.relu(sigma_pre)
+    if cfg.density_activation == "softplus":
+        sigma = jax.nn.softplus(sigma_pre)
+    else:
+        sigma = jax.nn.relu(sigma_pre)
 
     wdir, bdir = p[2 * n_layers + 2], p[2 * n_layers + 3]
     dcat = jnp.concatenate([h, enc_d], axis=-1)
@@ -309,7 +312,10 @@ def _field_bwd_from_res(cfg: NeRFConfig, n_params: int, p, r, emb,
     # density head: sigma = relu(sum(h8 * wd) + bd), wd packed (1, hidden).
     # All three density grads/upstreams stay on the VPU (see pack_params).
     wd = p[2 * n_layers]
-    d_sigma_pre = g_sigma * (r["sigma_pre"] > 0)           # (N, 1)
+    if cfg.density_activation == "softplus":
+        d_sigma_pre = g_sigma * jax.nn.sigmoid(r["sigma_pre"])  # (N, 1)
+    else:
+        d_sigma_pre = g_sigma * (r["sigma_pre"] > 0)            # (N, 1)
     grads[2 * n_layers] = jnp.sum(
         r["hs"][-1].astype(jnp.float32) * d_sigma_pre, axis=0, keepdims=True)
     grads[2 * n_layers + 1] = jnp.sum(d_sigma_pre, axis=0, keepdims=True)

@@ -62,9 +62,14 @@ def init_nerf_params(key, cfg: NeRFConfig):
         trunk.append(_init_linear(next(keys), in_dim, cfg.hidden_dim))
         in_dim = cfg.hidden_dim
 
+    density = _init_linear(next(keys), cfg.hidden_dim, 1)
+    if cfg.density_bias_init:
+        # Escape hatch for born-dead ReLU density heads (see config.py):
+        # shifts the head's pre-activation alive at init.
+        density["b"] = density["b"] + cfg.density_bias_init
     params = {
         "trunk": trunk,
-        "density": _init_linear(next(keys), cfg.hidden_dim, 1),
+        "density": density,
         "dir": _init_linear(next(keys), cfg.hidden_dim + cfg.dir_enc_dim, cfg.hidden_dim // 2),
         "rgb": _init_linear(next(keys), cfg.hidden_dim // 2, 3),
     }
@@ -125,7 +130,9 @@ def nerf_apply(
             h = jnp.concatenate([h, enc_x], axis=-1)
         h = jax.nn.relu(_linear(layer, h, compute_dtype))
 
-    sigma = jax.nn.relu(_linear(params["density"], h, compute_dtype))[..., 0]
+    act = (jax.nn.softplus if cfg.density_activation == "softplus"
+           else jax.nn.relu)
+    sigma = act(_linear(params["density"], h, compute_dtype))[..., 0]
 
     h_dir = jnp.concatenate([h, enc_d], axis=-1)
     h_dir = jax.nn.relu(_linear(params["dir"], h_dir, compute_dtype))

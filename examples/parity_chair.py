@@ -151,7 +151,14 @@ def main():
     ap.add_argument("--workdir", default="examples")
     ap.add_argument("--out", default="examples/parity_report.json")
     ap.add_argument("--skip-torch", action="store_true",
-                    help="only run the JAX side (for quick checks)")
+                    help="only run the JAX side; preserves an existing "
+                         "report's torch_reference section")
+    ap.add_argument("--jax-seeds", type=int, default=1,
+                    help="train the JAX side for this many seeds (seed..seed+N-1)"
+                         " — at short iteration counts single-seed trajectory"
+                         " noise dominates; the spread contextualizes the delta")
+    ap.add_argument("--jax-f32-control", action="store_true",
+                    help="also run one JAX seed with bf16 off (precision control)")
     args = ap.parse_args()
 
     train_ds, val_ds, data_info = get_scene(args)
@@ -166,10 +173,21 @@ def main():
     if jax.default_backend() not in ("tpu", "axon"):
         cfg = cfg.replace(use_pallas=False)
 
-    state, jax_s = train_jax(cfg, train_ds, args.iters, args.seed)
-    jax_eval = eval_jax(state, cfg, val_ds)
-    print(f"[jax] val psnr {jax_eval['psnr']:.3f} ({jax_s:.0f}s train)",
-          flush=True)
+    jax_runs = []
+    variants = [(args.seed + i, cfg) for i in range(args.jax_seeds)]
+    if args.jax_f32_control:
+        variants.append((args.seed, cfg.replace(use_bf16=False)))
+    for seed, c in variants:
+        state, jax_s = train_jax(c, train_ds, args.iters, seed)
+        ev = eval_jax(state, c, val_ds)
+        jax_runs.append({"seed": seed, "bf16": c.use_bf16,
+                         "val_psnr": ev["psnr"], "val_ssim": ev["ssim"],
+                         "per_view": ev["per_view"], "train_seconds": jax_s})
+        print(f"[jax] seed {seed} bf16={c.use_bf16}: val psnr "
+              f"{ev['psnr']:.3f} ({jax_s:.0f}s train)", flush=True)
+    jax_eval = {"psnr": jax_runs[0]["val_psnr"], "ssim": jax_runs[0]["val_ssim"],
+                "per_view": jax_runs[0]["per_view"]}
+    jax_s = jax_runs[0]["train_seconds"]
 
     report = {
         "experiment": "BASELINE.json parity: same data, same config, "
@@ -193,6 +211,31 @@ def main():
         "jax": {"val_psnr": jax_eval["psnr"], "val_ssim": jax_eval["ssim"],
                 "per_view": jax_eval["per_view"], "train_seconds": jax_s},
     }
+    if len(jax_runs) > 1:
+        psnrs = [r["val_psnr"] for r in jax_runs]
+        report["jax_psnr_spread"] = {"min": min(psnrs), "max": max(psnrs),
+                                     "mean": float(np.mean(psnrs))}
+        report["jax_runs"] = jax_runs
+    if any(r["val_psnr"] < 10.0 for r in jax_runs):
+        report["density_init_hazard"] = (
+            "a run never trained: the reference's ReLU density head under "
+            "torch-default init can be BORN DEAD (sigma_pre < 0 at every "
+            "visible point -> the relu gate zeroes every gradient).  This is "
+            "a property of the reference semantics, not of this framework: "
+            "5/12 torch-init seeds of the reference model are fully dead at "
+            "init (benchmarks/torch_reference.py probe).  Mitigations (off "
+            "by default to stay reference-exact): config density_activation="
+            "'softplus' or density_bias_init>0 — with softplus the stalled "
+            "seed trains normally (tests/test_kernels.py::"
+            "test_density_robustness_knobs).")
+
+    prior_torch = None
+    if args.skip_torch and os.path.isfile(args.out):
+        try:
+            with open(args.out) as f:
+                prior_torch = json.load(f).get("torch_reference")
+        except Exception:
+            prior_torch = None
 
     if not args.skip_torch:
         torch_res = run_torch(cfg, train_ds, val_ds, args.iters, args.seed)
@@ -203,6 +246,10 @@ def main():
               f"{torch_res['psnr']:.3f} dB "
               f"(delta {report['psnr_delta_jax_minus_torch']:+.3f})",
               flush=True)
+    elif prior_torch is not None:
+        report["torch_reference"] = prior_torch
+        report["psnr_delta_jax_minus_torch"] = (
+            jax_eval["psnr"] - prior_torch["psnr"])
 
     at_reference_scale = (data_info["kind"] == "nerf_synthetic"
                           and args.downscale == 1 and args.iters >= 30000)

@@ -542,3 +542,63 @@ def test_onepass_train_kernel_bf16_runs_and_learns():
         params = optax.apply_updates(params, upd)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_density_robustness_knobs():
+    """softplus density + bias init: kernel matches XLA path (fwd and grads),
+    and the born-dead-seed scenario (parity_report.json: seed 1 never trains
+    under reference-exact relu init) actually learns with either knob."""
+    import optax
+
+    from danerf_tpu.render.renderer import render_rays
+    from danerf_tpu.train.trainer import _onepass_loss_grads
+
+    cfg = SMALL.replace(use_appearance=False, num_samples=16,
+                        num_importance=0, density_activation="softplus",
+                        density_bias_init=0.5)
+    params = init_nerf_params(jax.random.key(0), cfg)
+    x, d, _ = _inputs(64, cfg)
+    r_x, s_x = nerf_apply(params, cfg, x, d)
+    r_f, s_f = fused_nerf_apply(params, cfg, x, d)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), atol=2e-5)
+
+    key = jax.random.key(3)
+    rays_o, rays_d, _ = _rays(32, cfg)
+    target = jax.random.uniform(jax.random.key(9), (32, 3))
+
+    def loss(p, fused):
+        out = render_rays(p, cfg, key, rays_o, rays_d, n_samples=16,
+                          n_importance=0, perturb=True, fused_composite=fused)
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    gf = jax.grad(lambda p: loss(p, True))(params)
+    gx = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4, err_msg="softplus grads")
+
+    # Born-dead scenario: force the head dead, then check each knob revives it.
+    dead = dict(params)
+    dead["density"] = {"w": params["density"]["w"],
+                       "b": params["density"]["b"] - 10.0}
+    batch = {"rays_o": rays_o, "rays_d": rays_d, "rgb": target,
+             "img_idx": jnp.zeros((32,), jnp.int32)}
+    cfg_relu = cfg.replace(density_activation="relu", use_pallas=True,
+                           use_fused_train=True)
+    (_, _), g_relu = _onepass_loss_grads({"model": dead}, cfg_relu, key, batch)
+    gn_relu = sum(float(jnp.sum(jnp.abs(x)))
+                  for x in jax.tree_util.tree_leaves(g_relu))
+    assert gn_relu == 0.0  # the hazard: relu gate kills every gradient
+
+    cfg_sp = cfg_relu.replace(density_activation="softplus")
+    (_, _), g_sp = _onepass_loss_grads({"model": dead}, cfg_sp, key, batch)
+    gn_sp = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g_sp))
+    assert gn_sp > 0.0  # softplus always passes gradient
+
+    # density_bias_init moves a fresh init's head alive
+    cfg_b = cfg_relu.replace(density_bias_init=0.5)
+    p_b = init_nerf_params(jax.random.key(1), cfg_b)
+    _, sig = nerf_apply(p_b, cfg_b, x, d)
+    assert float(jnp.mean(sig > 0)) > 0.5
