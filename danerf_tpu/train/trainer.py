@@ -304,6 +304,17 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
     i = start_step
     last_logged = start_step
     last_progress = start_step
+    # Metric fetches are buffered as device arrays and converted to floats
+    # only at progress/checkpoint boundaries: a float() per dispatch blocks
+    # on a full host<->device round trip (the TPU here is behind a remote
+    # tunnel — measured 3.8x end-to-end slowdown on a slow-tunnel day).
+    pending: list = []
+
+    def _flush_logs():
+        for j, m in pending:
+            logger.log(j, **{k: float(v) for k, v in m.items()})
+        pending.clear()
+
     while i < n_iters:
         # Reference warms up with batch 64 for the first 5 iterations
         # (src/train.py:26,56-58).
@@ -326,22 +337,25 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
         # an ``i % 10 == 0`` test would (almost) never fire; log by distance.
         if i - last_logged >= 10 or i == n_iters:
             last_logged = i
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.log(i, **m)
+            pending.append((i, metrics))
             # like last_logged: i advances in warmup-offset chunks, so a
             # modulo test would rarely fire — print by distance instead
             if progress and (i - last_progress >= 1000 or i == n_iters):
                 last_progress = i
+                _flush_logs()
+                m = {k: float(v) for k, v in metrics.items()}
                 rays_s = cfg.batch_size * i / max(time.time() - t0, 1e-9)
                 print(f"step {i}/{n_iters} loss={m['loss']:.5f} "
                       f"psnr={m['psnr']:.2f} rays/s={rays_s:,.0f}")
 
         if checkpoint_every and i % checkpoint_every == 0:
+            _flush_logs()
             save_checkpoint(save_dir, f"checkpoint_{i:06d}", state,
                             {"step": i, **{k: float(v) for k, v in metrics.items()}})
             if eval_every:
                 _save_validation_render(state, cfg, dataset, save_dir, i)
 
+    _flush_logs()
     save_checkpoint(save_dir, "checkpoint_final", state,
                     {"step": n_iters, **{k: float(v) for k, v in metrics.items()}})
     _save_training_curves(logger, save_dir)

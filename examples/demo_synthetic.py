@@ -25,8 +25,12 @@ def main():
     ap.add_argument("--out", type=str, default="demo_out")
     ap.add_argument("--size", type=int, default=100)
     ap.add_argument("--frames", type=int, default=24)
-    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="force the Pallas kernels (default: auto on TPU)")
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
+    use_pallas = (args.pallas or jax.default_backend() == "tpu") \
+        and not args.no_pallas
 
     from danerf_tpu.config import NeRFConfig
     from danerf_tpu.data import make_synthetic_scene
@@ -38,7 +42,7 @@ def main():
     from danerf_tpu.viz.video import create_video_from_images
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = NeRFConfig(num_importance=0, use_bf16=True, use_pallas=args.pallas,
+    cfg = NeRFConfig(num_importance=0, use_bf16=True, use_pallas=use_pallas,
                      render_chunk=args.size * args.size)
     print(f"devices: {jax.devices()}")
 
@@ -82,7 +86,7 @@ def main():
         "val_psnr": round(res["psnr"], 3),
         "val_ssim": round(res["ssim"], 4),
         "backend": jax.default_backend(),
-        "use_pallas": args.pallas,
+        "use_pallas": use_pallas,
     }
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
