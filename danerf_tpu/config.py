@@ -86,6 +86,17 @@ class NeRFConfig:
     # instead of the per-sample kernel + XLA compositing.  Requires
     # use_pallas; gradients verified equal to the core path in tests.
     use_fused_train: bool = True
+    # Hierarchical training as ONE pallas_call per step: coarse march,
+    # in-kernel inverse-CDF resampling, rank-merged fine stage, both MSE
+    # terms, and the full backward share a VMEM tile — the coarse forward
+    # is never recomputed (6x forward-matmul FLOPs vs 7x for the
+    # coarse-custom-VJP + merged-kernel pair).  Gradients verified against
+    # the two-kernel path in tests.  DEFAULT OFF: measured SLOWER on v5e
+    # (219k vs 234k rays/s) despite the 14% FLOP saving — the monolithic
+    # kernel's VMEM pressure costs more in Mosaic scheduling than the saved
+    # recompute (larger tiles are worse still; BENCH_NOTES.md "Negative
+    # results").  Kept as an opt-in for future Mosaic versions.
+    use_hier_onepass: bool = False
     # Rematerialize the field evaluation in the backward pass (trades ~1/3
     # more FLOPs for dropping all trunk activations from HBM).  Measured on
     # v5e: the un-remat'd XLA path OOMs at a 65536-ray batch (33 GB of

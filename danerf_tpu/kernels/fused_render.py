@@ -1093,3 +1093,252 @@ def fused_render_rays_eval(params: dict, cfg: NeRFConfig, rays_o, rays_d,
         "acc": acc[:, 0, 0],
         "weights": w[:, 0, :],
     }
+
+
+# --------------------------------------------------------------------------
+# Fully-fused hierarchical train kernel: the ENTIRE default train-loss
+# forward + backward in ONE pallas_call.
+#
+# The two-kernel hierarchical path (coarse custom-VJP + merged train kernel)
+# pays 7 forward-matmul units per step: coarse fwd (1), merged fine one-pass
+# (3: fwd + transposed chain), then the coarse BACKWARD kernel recomputes the
+# coarse forward (3) because the coarse-field cotangent only exists after the
+# merged kernel ran.  Fusing everything into one kernel keeps the coarse
+# residuals alive in VMEM across the fine stage, so the coarse backward needs
+# no recompute: 6 units — coarse fwd (1) + fine fwd (1) + two transposed
+# chains (2 + 2) — the FLOP floor for a hierarchical step that differentiates
+# both passes.  It also deletes two kernel dispatches, the XLA sample_pdf
+# between them, and the (R,4,Sc) field / g_field HBM round-trips.
+#
+# The inverse-CDF importance sampler runs IN-KERNEL (lane layout): its
+# stratified uniforms u depend only on the PRNG key, never on the weights
+# (ops/sampling.importance_uniforms), so they stream in as a (R, Sf) input;
+# the CDF cumsum is one upper-triangular (Sc, Sc) MXU matmul and the
+# searchsorted bracketing uses the same masked max/min reductions as
+# ops/sampling.sample_pdf:115-150 (gathers are ~20x slower on TPU).  Like the
+# trainer's stop_gradient into sample_pdf, no gradient flows through the
+# resampling (z is data).
+# --------------------------------------------------------------------------
+
+def _pdf_tile(tr: int, sc: int, sf: int, z_c, w, u):
+    """In-kernel inverse-CDF importance sampling on one tile.
+
+    Mirrors ops/sampling.sample_pdf exactly (same eps, same masked-reduction
+    searchsorted, reference semantics ray_utils.py:105-139), with the cumsum
+    as a triangular MXU matmul (Mosaic has no cumsum primitive — the only
+    numerics difference is f32 summation order).
+
+    Args:
+        z_c: (TR, Sc) sorted coarse depths.  w: (TR, Sc) coarse weights.
+        u: (TR, Sf) stratified uniforms (importance_uniforms output).
+
+    Returns (TR, Sf) new depths, sorted (u is strictly increasing).
+    """
+    f32 = jnp.float32
+    wgt = w + 1e-5
+    wgt = wgt / jnp.sum(wgt, axis=-1, keepdims=True)
+    # Inclusive cumsum: cdf_j = sum_{i<=j} w_i  ->  one (Sc,Sc) matmul.
+    tri = jnp.triu(jnp.ones((sc, sc), f32), k=0)
+    cdf = jnp.dot(wgt, tri, preferred_element_type=f32)     # (TR, Sc)
+    cdf_p = jnp.concatenate(
+        [jnp.zeros((tr, 1), f32), cdf], axis=-1)            # (TR, Sc+1)
+
+    lt = cdf_p[:, None, :] < u[:, :, None]                  # (TR, Sf, Sc+1)
+    inds = jnp.sum(lt.astype(jnp.int32), axis=-1)           # (TR, Sf)
+
+    big = jnp.asarray(jnp.finfo(f32).max, f32)
+    cdfb = cdf_p[:, None, :]
+    cdf_below = jnp.max(jnp.where(lt, cdfb, 0.0), axis=-1)
+    cdf_above = jnp.min(jnp.where(lt, big, cdfb), axis=-1)
+
+    lt_z = lt[..., :sc]
+    zb = z_c[:, None, :]
+    z_below = jnp.max(jnp.where(lt_z, zb, -big), axis=-1)
+    z_below = jnp.where(inds == 0, z_c[:, 0:1], z_below)
+    j_z = jax.lax.broadcasted_iota(jnp.int32, (tr, sf, sc), 2)
+    sfx = j_z >= jnp.minimum(inds, sc - 1)[..., None]
+    z_above = jnp.min(jnp.where(sfx, zb, big), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return z_below + t * (z_above - z_below)
+
+
+def _hier_onepass_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
+                         tr: int, sc: int, sf: int, n_real: int, *refs):
+    """One-kernel hierarchical train step (see block comment above).
+
+    Outputs: per-param grad accumulators, demb (TR, E) per ray, and a (1, 2)
+    loss accumulator [sum fine MSE part, sum coarse MSE part]."""
+    n_data = (7 if has_time else 6)          # o, d, emb, z_c, u, target [, t]
+    n_enc = 9 if has_time else 6
+    ins = refs[:n_data + n_enc + n_params]
+    outs = refs[n_data + n_enc + n_params:]
+    o_ref, d_ref, emb_ref, zc_ref, u_ref, tgt_ref = ins[:6]
+    t = ins[6][:] if has_time else None
+    enc_consts = [r[:] for r in ins[n_data:n_data + n_enc]]
+    p = [r[:] for r in ins[n_data + n_enc:]]
+    dparam_refs = list(outs[:n_params])
+    demb_ref, loss_ref = outs[n_params], outs[n_params + 1]
+
+    f32 = jnp.float32
+    s_all = sc + sf
+    o, d, emb2, z_c = o_ref[:], d_ref[:], emb_ref[:], zc_ref[:]
+
+    # 1) coarse march; field values kept for the merge, residuals for its bwd.
+    rgb_c, depth_c, acc_c, w_c, aux_c = _march_tile(
+        cfg, has_time, tr, sc, o, d, emb2, z_c, t, enc_consts, p,
+        want_field=True)
+
+    # 2) in-kernel importance resampling (gradient-free: z is data).
+    z_f = _pdf_tile(tr, sc, sf, z_c, w_c.reshape(tr, sc), u_ref[:])
+
+    # 3) merged fine stage reusing the coarse field straight from VMEM.
+    rgb_map, depth, acc, w, z_all, aux = _merged_tile(
+        cfg, has_time, tr, sc, sf, o, d, emb2, z_c, aux_c["field"], z_f, t,
+        enc_consts, p)
+
+    # 4) both MSE terms; padded rays masked by global index.
+    idx = (pl.program_id(0) * tr
+           + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+    mask = (idx < n_real).astype(f32)
+    inv_denom = 1.0 / (n_real * 3.0)
+    tgt = tgt_ref[:][:, None, :]
+    diff_f = (rgb_map - tgt) * mask
+    loss_f = jnp.sum(diff_f * diff_f).reshape(1, 1) * inv_denom
+    g_rgbmap_f = (2.0 * inv_denom) * diff_f
+    diff_c = (rgb_c - tgt) * mask
+    loss_c = jnp.sum(diff_c * diff_c).reshape(1, 1) * inv_denom
+    g_rgbmap_c = (2.0 * cfg.coarse_loss_weight * inv_denom) * diff_c
+    loss_part = jnp.concatenate([loss_f, loss_c], axis=-1)  # (1, 2)
+
+    # 5) merged-composite backward -> fine MLP cotangents + coarse-field cot.
+    zero1 = jnp.zeros((tr, 1, 1), f32)
+    g_rgb_all, g_sigma_all = _composite_bwd_lanes(
+        tr, s_all, g_rgbmap_f, zero1, zero1, jnp.zeros((tr, 1, s_all), f32),
+        aux["rgb_all"], w, aux["alpha"], aux["trans"], z_all, aux["dists"],
+        depth, acc)
+    oh_c, oh_f = aux["oh_c"], aux["oh_f"]
+
+    def unpermute(g_all, oh):  # (TR,k,S_all) x (TR,Sp,S_all) -> (TR,k,Sp)
+        return jax.lax.dot_general(
+            g_all, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+
+    n_tf = tr * sf
+    g_rgb_flat_f = jnp.swapaxes(
+        unpermute(g_rgb_all, oh_f), 1, 2).reshape(n_tf, 3)
+    g_sigma_flat_f = jnp.swapaxes(
+        unpermute(g_sigma_all, oh_f), 1, 2).reshape(n_tf, 1)
+    grads_f, demb_flat_f = _field_bwd_from_res(
+        cfg, n_params, p, aux["res"], aux["emb_flat"],
+        g_rgb_flat_f, g_sigma_flat_f)
+
+    # 6) coarse backward: composite transpose of the coarse aux loss, plus
+    #    the merge's field cotangent, through ONE transposed MLP chain over
+    #    the still-resident coarse residuals (this is the recompute saved).
+    g_rgb_l_c, g_sigma_l_c = _composite_bwd_lanes(
+        tr, sc, g_rgbmap_c, zero1, zero1, jnp.zeros((tr, 1, sc), f32),
+        aux_c["field"][:, :3, :], w_c, aux_c["alpha"], aux_c["trans"],
+        aux_c["z_l"], aux_c["dists"], depth_c, acc_c)
+    g_rgb_l_c = g_rgb_l_c + unpermute(g_rgb_all, oh_c)
+    g_sigma_l_c = g_sigma_l_c + unpermute(g_sigma_all, oh_c)
+    n_tc = tr * sc
+    g_rgb_flat_c = jnp.swapaxes(g_rgb_l_c, 1, 2).reshape(n_tc, 3)
+    g_sigma_flat_c = jnp.swapaxes(g_sigma_l_c, 1, 2).reshape(n_tc, 1)
+    grads_c, demb_flat_c = _field_bwd_from_res(
+        cfg, n_params, p, aux_c["res"], aux_c["emb_flat"],
+        g_rgb_flat_c, g_sigma_flat_c)
+
+    demb_ref[:] = (jnp.sum(demb_flat_f.reshape(tr, sf, -1), axis=1)
+                   + jnp.sum(demb_flat_c.reshape(tr, sc, -1), axis=1))
+    grads = [gf + gc for gf, gc in zip(grads_f, grads_c)]
+    _accumulate_grads(dparam_refs + [loss_ref], grads + [loss_part])
+
+
+def _hier_onepass_tr(cfg: NeRFConfig, budget: int, sc: int, sf: int) -> int:
+    # BOTH residual sets live across the tile (coarse Sc + fine Sf samples)
+    # plus the (Sc+Sf)-lane merge tensors: size by 2*(Sc+Sf).  Sublane blocks
+    # must be multiples of 8 (budget is a heuristic; VMEM_LIMIT is the cap).
+    env = os.environ.get("DANERF_HIER_ONEPASS_RAYS")
+    if env:
+        return max(8, 8 * (int(env) // 8))
+    tr = max(1, budget // (2 * (sc + sf)))
+    return max(8, 8 * (tr // 8))
+
+
+def _hier_onepass_pallas(packed, rays_o, rays_d, emb, z_c, u, target, t,
+                         cfg: NeRFConfig):
+    """Dispatch the one-kernel hierarchical train step.
+
+    Returns (mse_fine, mse_coarse, dpacked, demb (R, E))."""
+    interpret = jax.default_backend() != "tpu"
+    sc, sf = z_c.shape[-1], u.shape[-1]
+    has_time = t is not None
+    n_real = rays_o.shape[0]
+    tr = _hier_onepass_tr(cfg, _bwd_tile(cfg), sc, sf)
+    (rays_o, rays_d, emb, z_c, u, target, t), r = _pad_rays(
+        [rays_o, rays_d, emb, z_c, u, target, t], tr)
+    rp = rays_o.shape[0]
+    enc_args = _enc_const_args(cfg, has_time)
+
+    data = [rays_o, rays_d, emb, z_c, u, target]
+    data_specs = [_ray_spec(3, tr), _ray_spec(3, tr),
+                  _ray_spec(emb.shape[-1], tr), _ray_spec(sc, tr),
+                  _ray_spec(sf, tr), _ray_spec(3, tr)]
+    if has_time:
+        data.append(t)
+        data_specs.append(_ray_spec(1, tr))
+
+    kernel = functools.partial(_hier_onepass_kernel, cfg, len(packed),
+                               has_time, tr, sc, sf, n_real)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=data_specs
+        + [_const_spec(a.shape) for a in enc_args]
+        + [_const_spec(wt.shape) for wt in packed],
+        out_specs=[_const_spec(wt.shape) for wt in packed]
+        + [_ray_spec(emb.shape[-1], tr), _const_spec((1, 2))],
+        out_shape=[jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in packed]
+        + [jax.ShapeDtypeStruct((rp, emb.shape[-1]), jnp.float32),
+           jax.ShapeDtypeStruct((1, 2), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(*data, *enc_args, *packed)
+    dpacked, demb, loss = list(outs[:-2]), outs[-2][:r], outs[-1]
+    return loss[0, 0], loss[0, 1], dpacked, demb
+
+
+def fused_hier_onepass_train(params: dict, cfg: NeRFConfig, rays_o, rays_d,
+                             z_coarse, u, target,
+                             appearance_embedding=None, t=None):
+    """Whole hierarchical train-loss core — ONE kernel for fwd + bwd.
+
+    Args:
+        z_coarse: (R, Sc) sorted stratified depths.
+        u: (R, Sf) stratified uniforms from ops/sampling.importance_uniforms
+            (strictly increasing per ray; the in-kernel inverse CDF then
+            yields sorted importance depths).
+        target: (R, 3) ground-truth pixels.
+
+    Returns:
+        (mse_fine, mse_coarse, model grads of
+        mse(fine) + coarse_loss_weight*mse(coarse), demb (R, E)) — numerics
+        match the two-kernel hierarchical path (coarse custom VJP + merged
+        train kernel) up to f32 summation order of the in-kernel CDF cumsum.
+    """
+    from danerf_tpu.kernels.fused_mlp import unpack_grads
+
+    r = z_coarse.shape[0]
+    packed, emb = _packed_with_emb(params, cfg, r, appearance_embedding)
+    mse_f, mse_c, dpacked, demb = _hier_onepass_pallas(
+        packed, rays_o.astype(jnp.float32), rays_d.astype(jnp.float32), emb,
+        z_coarse.astype(jnp.float32), u.astype(jnp.float32),
+        target.astype(jnp.float32),
+        None if t is None else t.astype(jnp.float32), cfg)
+    grads = unpack_grads(dpacked, params, cfg)
+    if appearance_embedding is None and "appearance_proj" in params:
+        grads["appearance_proj"] = jax.tree.map(
+            jnp.zeros_like, params["appearance_proj"])
+    return mse_f, mse_c, grads, demb

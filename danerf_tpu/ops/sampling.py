@@ -82,6 +82,25 @@ def sample_stratified(key, rays_o, rays_d, near, far, n_samples: int, perturb: b
     return z_vals, pts
 
 
+def importance_uniforms(key, batch_shape, n_importance: int,
+                        perturb: bool = True, dtype=jnp.float32):
+    """The stratified uniforms ``u`` that sample_pdf inverts the CDF at
+    (ray_utils.py:115-119).  Factored out so the fully-fused hierarchical
+    train kernel can draw the SAME u outside the kernel and invert the CDF
+    in-kernel: u depends only on the key/shape, never on the weights.
+
+    Returns (*batch_shape, n_importance), strictly increasing along the last
+    axis (bin offsets < bin width), so the inverse-CDF output is sorted.
+    """
+    u = jnp.linspace(0.0, 1.0, n_importance + 1, dtype=dtype)[:-1]
+    u = jnp.broadcast_to(u, tuple(batch_shape) + (n_importance,))
+    if perturb:
+        u = u + jax.random.uniform(key, u.shape, dtype=dtype) / n_importance
+    else:
+        u = u + 0.5 / n_importance
+    return u
+
+
 def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
     """Inverse-CDF importance sampling of new depths (ray_utils.py:105-139).
 
@@ -105,12 +124,7 @@ def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
     cdf = jnp.cumsum(weights, axis=-1)                                   # (..., n)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., n+1)
 
-    u = jnp.linspace(0.0, 1.0, n_importance + 1, dtype=dtype)[:-1]
-    u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_importance,))
-    if perturb:
-        u = u + jax.random.uniform(key, u.shape, dtype=dtype) / n_importance
-    else:
-        u = u + 0.5 / n_importance
+    u = importance_uniforms(key, cdf.shape[:-1], n_importance, perturb, dtype)
 
     # First index where cdf[idx] >= u (torch.searchsorted right=False).  The
     # boolean prefix mask lt[r,i,j] = (cdf[r,j] < u[r,i]) encodes it: the

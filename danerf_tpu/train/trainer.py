@@ -194,6 +194,49 @@ def _onepass_hier_loss_grads(params, cfg: NeRFConfig, key, batch):
     return (loss, {"mse": mse_fine, "coarse_mse": mse_coarse}), grads
 
 
+def _onepass_hier_fused_loss_grads(params, cfg: NeRFConfig, key, batch):
+    """Hierarchical training as ONE kernel: coarse march + in-kernel
+    inverse-CDF resample + merged fine stage + both MSE terms + full backward
+    share a VMEM tile (kernels/fused_render._hier_onepass_kernel).  Keeping
+    the coarse residuals alive across the fine stage removes the coarse
+    forward recompute the two-kernel path pays (6x vs 7x forward-matmul
+    FLOPs).  Gradients match _onepass_hier_loss_grads up to the f32
+    summation order of the in-kernel CDF cumsum."""
+    from danerf_tpu.kernels.fused_render import fused_hier_onepass_train
+    from danerf_tpu.ops.sampling import importance_uniforms, sample_stratified
+
+    rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = cfg.near, cfg.far
+    if cfg.scene_aabb is not None:
+        from danerf_tpu.ops.sampling import ray_aabb_bounds
+
+        box = cfg.scene_aabb
+        near, far = ray_aabb_bounds(rays_o, rays_d, box[:3], box[3:],
+                                    cfg.near, cfg.far)
+    # Same key split as the two-kernel path: identical stratified jitter and
+    # identical importance uniforms (they depend only on the key, not on the
+    # coarse weights — the CDF inversion itself happens in-kernel).
+    k_strat, k_imp = jax.random.split(key)
+    z_c, _ = sample_stratified(k_strat, rays_o, rays_d, near, far,
+                               cfg.num_samples, perturb=True)
+    u = importance_uniforms(k_imp, z_c.shape[:-1], cfg.num_importance,
+                            perturb=True, dtype=z_c.dtype)
+    emb = None
+    if cfg.use_appearance:
+        emb = params["appearance"][batch["img_idx"]]
+
+    mse_fine, mse_coarse, model_grads, demb = fused_hier_onepass_train(
+        params["model"], cfg, rays_o, rays_d, z_c, u, batch["rgb"], emb)
+
+    loss = mse_fine + cfg.coarse_loss_weight * mse_coarse
+    grads = {"model": model_grads}
+    if cfg.use_appearance:
+        grads["appearance"] = jnp.zeros_like(
+            params["appearance"]).at[batch["img_idx"]].add(demb)
+    return (loss, {"mse": mse_fine, "coarse_mse": mse_coarse}), grads
+
+
 def use_onepass(cfg: NeRFConfig) -> bool:
     """True when the single-pass fused train kernels serve this config."""
     return cfg.use_pallas and cfg.use_fused_train and not cfg.use_time
@@ -204,6 +247,8 @@ def compute_loss_and_grads(params, cfg: NeRFConfig, key, batch):
     single-device and mesh-sharded train steps)."""
     if use_onepass(cfg):
         if cfg.num_importance > 0:
+            if cfg.use_hier_onepass:
+                return _onepass_hier_fused_loss_grads(params, cfg, key, batch)
             return _onepass_hier_loss_grads(params, cfg, key, batch)
         return _onepass_loss_grads(params, cfg, key, batch)
     return jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, key, batch)

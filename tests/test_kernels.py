@@ -602,3 +602,73 @@ def test_density_robustness_knobs():
     p_b = init_nerf_params(jax.random.key(1), cfg_b)
     _, sig = nerf_apply(p_b, cfg_b, x, d)
     assert float(jnp.mean(sig > 0)) > 0.5
+
+
+def test_hier_onepass_fused_matches_twokernel_and_autodiff():
+    """The ONE-kernel hierarchical train step (coarse march + in-kernel
+    inverse-CDF + merged fine + both losses + full backward in a single
+    pallas_call) must reproduce the two-kernel path AND value_and_grad of the
+    fused hier loss for the loss and every grad leaf.  Only numerics delta:
+    the in-kernel CDF cumsum is a triangular matmul (different f32 summation
+    order than jnp.cumsum), which perturbs the importance depths by ~1 ulp —
+    the inverse CDF is continuous in the cdf values, so tolerances absorb it."""
+    from danerf_tpu.models import init_appearance_embeddings
+    from danerf_tpu.train.trainer import (_onepass_hier_fused_loss_grads,
+                                          _onepass_hier_loss_grads, loss_fn)
+
+    cfg = SMALL.replace(use_pallas=True, use_fused_train=True,
+                        use_hier_onepass=True, num_samples=16,
+                        num_importance=8, coarse_loss_weight=0.7)
+    params = {"model": init_nerf_params(jax.random.key(0), cfg),
+              "appearance": init_appearance_embeddings(
+                  jax.random.key(1), 5, cfg.appearance_dim)}
+    n = 24  # not a tile multiple: exercises the fused kernel's ray mask
+    rays_o, rays_d, _ = _rays(n, cfg)
+    batch = {
+        "rays_o": rays_o, "rays_d": rays_d,
+        "rgb": jax.random.uniform(jax.random.key(3), (n, 3)),
+        "img_idx": jax.random.randint(jax.random.key(4), (n,), 0, 5),
+    }
+    key = jax.random.key(13)
+
+    (l1, aux1), g1 = _onepass_hier_fused_loss_grads(params, cfg, key, batch)
+    (l2, aux2), g2 = _onepass_hier_loss_grads(params, cfg, key, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    np.testing.assert_allclose(float(aux1["mse"]), float(aux2["mse"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(aux1["coarse_mse"]),
+                               float(aux2["coarse_mse"]), rtol=1e-4)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    assert [p for p, _ in flat1] == [p for p, _ in flat2]
+    for (path, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"hier fused 2k {path}")
+
+    (l3, _), g3 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, key, batch)
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-4)
+    flat3 = jax.tree_util.tree_leaves_with_path(g3)
+    for (path, a), (_, b) in zip(flat1, flat3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"hier fused ad {path}")
+
+
+def test_pdf_tile_matches_sample_pdf():
+    """The in-kernel inverse-CDF tile must reproduce ops/sampling.sample_pdf
+    given the same uniforms (outside a kernel both run as plain jnp)."""
+    from danerf_tpu.kernels.fused_render import _pdf_tile
+    from danerf_tpu.ops.sampling import importance_uniforms, sample_pdf
+
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    tr, sc, sf = 8, 16, 8
+    z = jnp.sort(jax.random.uniform(k1, (tr, sc), minval=2.0, maxval=6.0),
+                 axis=-1)
+    w = jax.random.uniform(k2, (tr, sc))
+    u = importance_uniforms(k3, (tr,), sf, perturb=True)
+    ref = sample_pdf(k3, z, w, sf, perturb=True)
+    got = _pdf_tile(tr, sc, sf, z, w, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # sorted output (u strictly increasing, cdf strictly increasing)
+    assert bool(jnp.all(got[:, 1:] >= got[:, :-1]))
