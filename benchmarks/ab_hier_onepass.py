@@ -9,7 +9,7 @@ sys.path.insert(0, ".")
 
 import jax  # noqa: E402
 
-from bench import bench_train_step, build_pool  # noqa: E402
+from bench import bench_train_step  # noqa: E402
 from danerf_tpu.config import NeRFConfig  # noqa: E402
 
 

@@ -101,7 +101,8 @@ def importance_uniforms(key, batch_shape, n_importance: int,
     return u
 
 
-def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
+def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True,
+               u: "jnp.ndarray | None" = None):
     """Inverse-CDF importance sampling of new depths (ray_utils.py:105-139).
 
     Args:
@@ -111,6 +112,10 @@ def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
         n_importance: static int count of new samples.
         perturb: static bool; when False the uniforms sit at bin centers
             (deterministic path for golden tests; the reference always jitters).
+        u: optional (..., n_importance) pre-drawn stratified uniforms
+            (importance_uniforms semantics); overrides key/perturb.  Used by
+            the torch-pairing mirror (benchmarks/jax_reference.py), which
+            must invert the CDF at uniforms drawn from a shared host stream.
 
     Returns:
         z_fine: (..., n_importance) new depths (unsorted, like the reference's
@@ -124,7 +129,8 @@ def sample_pdf(key, z_vals, weights, n_importance: int, perturb: bool = True):
     cdf = jnp.cumsum(weights, axis=-1)                                   # (..., n)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., n+1)
 
-    u = importance_uniforms(key, cdf.shape[:-1], n_importance, perturb, dtype)
+    if u is None:
+        u = importance_uniforms(key, cdf.shape[:-1], n_importance, perturb, dtype)
 
     # First index where cdf[idx] >= u (torch.searchsorted right=False).  The
     # boolean prefix mask lt[r,i,j] = (cdf[r,j] < u[r,i]) encodes it: the

@@ -668,7 +668,19 @@ def test_pdf_tile_matches_sample_pdf():
     u = importance_uniforms(k3, (tr,), sf, perturb=True)
     ref = sample_pdf(k3, z, w, sf, perturb=True)
     got = _pdf_tile(tr, sc, sf, z, w, u)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    # A u within ~1 ulp of a CDF boundary can flip the searchsorted bracket
+    # between the two implementations (cumsum vs triangular-matmul summation
+    # order) and produce an O(bin-width) depth mismatch; mask such samples
+    # out before asserting tight tolerances so the test is robust to
+    # seed/shape edits, not just to this fixed seed.
+    eps = 1e-5
+    wn = w + eps
+    cdf = jnp.cumsum(wn / jnp.sum(wn, axis=-1, keepdims=True), axis=-1)
+    near_boundary = jnp.any(
+        jnp.abs(u[..., :, None] - cdf[..., None, :]) < 4e-7, axis=-1)
+    safe = np.asarray(~near_boundary)
+    assert safe.mean() > 0.8, "probe: too few boundary-safe samples"
+    np.testing.assert_allclose(np.asarray(got)[safe], np.asarray(ref)[safe],
                                atol=1e-5, rtol=1e-5)
     # sorted output (u strictly increasing, cdf strictly increasing)
     assert bool(jnp.all(got[:, 1:] >= got[:, :-1]))

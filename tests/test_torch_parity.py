@@ -119,3 +119,37 @@ def test_linear_init_statistics_vs_torch():
     jw = np.asarray(params["trunk"][1]["w"])
     np.testing.assert_allclose(np.abs(jw).max(), np.abs(tw).max(), rtol=0.02)
     np.testing.assert_allclose(jw.std(), tw.std(), rtol=0.05)
+
+
+def test_mirror_trajectory_tracks_torch_reference():
+    """The JAX mirror of the reference trainer (benchmarks/jax_reference.py)
+    must be trajectory-PAIRED with the torch trainer: same torch-exported
+    init + same numpy RNG stream (torch_reference.make_step_inputs protocol)
+    => per-step losses equal up to f32 summation order.  This is the
+    equivalence that lets the multi-seed parity statistics run through the
+    mirror on TPU (the torch side costs ~8 h/seed on this host).
+
+    Covers the HIERARCHICAL path too (importance resample + union sort +
+    fine MSE + coarse auxiliary), i.e. the torch anchor of VERDICT item 8.
+    """
+    from benchmarks.jax_reference import train_mirror
+    from benchmarks.torch_reference import train_reference
+    from danerf_tpu.config import NeRFConfig
+
+    cfg = NeRFConfig(hidden_dim=48, num_layers=3, skip_connect_layers=(2,),
+                     num_samples=12, num_importance=6, batch_size=96,
+                     use_bf16=False, use_pallas=False, appearance_dim=8,
+                     pos_enc_levels=4, dir_enc_levels=2, warmup_iters=2)
+    rng = np.random.default_rng(1)
+    images = rng.random((3, 16, 16, 3), dtype=np.float32)
+    c2ws = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    c2ws[:, 2, 3] = 4.0
+
+    init = {}
+    _, _, mses_t = train_reference(cfg, images, c2ws, 20.0, 16, seed=3,
+                                   init_out=init, log_every=10 ** 9)
+    _, mses_j = train_mirror(cfg, images, c2ws, 20.0, 16, seed=3,
+                             init=init, chunk=5)
+    mt, mj = np.asarray(mses_t), np.asarray(mses_j)
+    rel = np.abs(mt - mj) / np.maximum(np.abs(mt), 1e-12)
+    assert rel.max() < 2e-3, f"trajectory drift {rel.max():.2e}\n{mt}\n{mj}"
