@@ -111,6 +111,20 @@ class NeRFConfig:
     # --- rendering (reference run.py:89-100) ---
     render_chunk: int = 65536    # rays per device call when rendering frames
 
+    def __post_init__(self):
+        # use_hier_onepass only takes effect on the fused one-pass train path
+        # with an active fine pass (train.trainer.use_onepass); warn instead
+        # of silently benchmarking the wrong kernel.
+        if self.use_hier_onepass and not (
+                self.use_pallas and self.use_fused_train
+                and self.num_importance > 0 and not self.use_time):
+            import warnings
+
+            warnings.warn(
+                "use_hier_onepass=True is ignored: it requires use_pallas, "
+                "use_fused_train, num_importance>0 and use_time=False "
+                "(train/trainer.py use_onepass)", stacklevel=2)
+
     # --- derived dims ---
     @property
     def pos_enc_dim(self) -> int:

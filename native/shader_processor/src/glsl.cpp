@@ -105,7 +105,7 @@ struct Lexer {
     }
     // multi-char operators
     static const char* two[] = {"==", "!=", "<=", ">=", "&&", "||",
-                                "+=", "-=", "*=", "/=", nullptr};
+                                "+=", "-=", "*=", "/=", "++", "--", nullptr};
     for (int k = 0; two[k]; ++k)
       if (s.compare(i, 2, two[k]) == 0) {
         Token t{Tok::Punct, two[k]};
@@ -134,12 +134,20 @@ struct Stmt;
 using StmtP = std::unique_ptr<Stmt>;
 
 struct Stmt {
-  enum Kind { Decl, Assign, If, Return, ExprStmt } kind;
+  enum Kind { Decl, Assign, If, Return, ExprStmt, For, While } kind;
   std::string name;      // Decl/Assign target
   std::string swizzle;   // Assign: non-empty for `x.rgb = ...`
   std::string op;        // Assign: "=", "+=", ...
-  ExprP expr;            // Decl init / Assign rhs / If cond / ExprStmt
-  std::vector<StmtP> then_body, else_body;  // If
+  ExprP expr;            // Decl init / Assign rhs / If|For|While cond /
+                         // ExprStmt / Return value (may be null)
+  std::vector<StmtP> then_body, else_body;  // If; For/While body = then_body
+  StmtP init, incr;      // For
+};
+
+struct Func {
+  std::string ret_type;                 // "void", "float", "vec3", ...
+  std::vector<std::string> param_names;
+  std::vector<StmtP> body;
 };
 
 struct Shader {
@@ -151,6 +159,7 @@ struct Shader {
     std::string type;
   };
   std::map<std::string, Uniform> uniforms;
+  std::map<std::string, Func> functions;  // user-defined helper functions
   std::string in_name;   // `in vec2 <name>` — the texcoord
   std::string out_name;  // `out vec4 <name>` — the fragment color
   std::vector<StmtP> body;
@@ -216,24 +225,98 @@ struct Parser {
         expect_ident();  // type
         sh.out_name = expect_ident();
         expect(";");
-      } else if (is_ident("void")) {
-        advance();
+      } else if (is_ident("void") ||
+                 (cur.kind == Tok::Ident && is_type(cur.text))) {
+        // function definition: RET name(TYPE a, TYPE b, ...) { ... }
+        // (user helper functions + the mandatory void main())
+        std::string ret = expect_ident();
         std::string fn = expect_ident();
-        if (fn != "main") fail("only 'void main()' is supported; found function '" + fn + "'");
         expect("(");
+        Func f;
+        f.ret_type = ret;
+        while (!is_punct(")")) {
+          if (cur.kind == Tok::End) fail("unterminated parameter list");
+          if (is_ident("in") || is_ident("const")) advance();  // qualifiers
+          std::string ptype = expect_ident();
+          if (!is_type(ptype)) fail("bad parameter type '" + ptype + "'");
+          f.param_names.push_back(expect_ident());
+          if (is_punct(",")) advance();
+        }
         expect(")");
         expect("{");
         while (!is_punct("}")) {
-          if (cur.kind == Tok::End) fail("unterminated main()");
-          sh.body.push_back(parse_stmt());
+          if (cur.kind == Tok::End) fail("unterminated function '" + fn + "'");
+          f.body.push_back(parse_stmt());
         }
         expect("}");
+        if (fn == "main") {
+          if (ret != "void" || !f.param_names.empty())
+            fail("main must be 'void main()'");
+          sh.body = std::move(f.body);
+        } else {
+          sh.functions[fn] = std::move(f);
+        }
       } else {
         fail("unsupported top-level construct '" + cur.text + "'");
       }
     }
     if (sh.out_name.empty()) sh.out_name = "gl_FragColor";
     return sh;
+  }
+
+  // simple statement without trailing ';' — for-loop init/increment clauses:
+  // declaration, assignment (incl. compound), i++/i--, or expression
+  StmtP parse_simple_stmt() {
+    auto st = std::make_unique<Stmt>();
+    if (cur.kind == Tok::Ident && is_type(cur.text)) {
+      st->kind = Stmt::Decl;
+      advance();
+      st->name = expect_ident();
+      if (is_punct("=")) {
+        advance();
+        st->expr = parse_expr();
+      }
+      return st;
+    }
+    if (cur.kind == Tok::Ident) {
+      std::string name = cur.text;
+      size_t save_i = lex.i;
+      Token save_cur = cur;
+      advance();
+      std::string swz;
+      if (is_punct(".")) {
+        advance();
+        swz = expect_ident();
+      }
+      if (is_punct("++") || is_punct("--")) {
+        st->kind = Stmt::Assign;
+        st->name = name;
+        st->swizzle = swz;
+        st->op = cur.text == "++" ? "+=" : "-=";
+        advance();
+        auto one = std::make_unique<Expr>();
+        one->kind = Expr::Num;
+        one->num = 1.0;
+        st->expr = std::move(one);
+        return st;
+      }
+      if (cur.kind == Tok::Punct &&
+          (cur.text == "=" || cur.text == "+=" || cur.text == "-=" ||
+           cur.text == "*=" || cur.text == "/=")) {
+        st->kind = Stmt::Assign;
+        st->name = name;
+        st->swizzle = swz;
+        st->op = cur.text;
+        advance();
+        st->expr = parse_expr();
+        return st;
+      }
+      lex.i = save_i;
+      cur = save_cur;
+    }
+    st->kind = Stmt::ExprStmt;
+    st->expr = parse_expr();
+    return st;
   }
 
   StmtP parse_stmt() {
@@ -251,53 +334,41 @@ struct Parser {
       }
       return st;
     }
+    if (is_ident("for")) {
+      // for (init; cond; incr) body — cond may be empty (capped at runtime)
+      advance();
+      expect("(");
+      st->kind = Stmt::For;
+      if (!is_punct(";")) st->init = parse_simple_stmt();
+      expect(";");
+      if (!is_punct(";")) st->expr = parse_expr();
+      expect(";");
+      if (!is_punct(")")) st->incr = parse_simple_stmt();
+      expect(")");
+      parse_block(st->then_body);
+      return st;
+    }
+    if (is_ident("while")) {
+      advance();
+      expect("(");
+      st->kind = Stmt::While;
+      st->expr = parse_expr();
+      expect(")");
+      parse_block(st->then_body);
+      return st;
+    }
+    if (is_ident("break") || is_ident("continue")) {
+      fail("'" + cur.text + "' is not supported (restructure the loop "
+           "condition instead)");
+    }
     if (is_ident("return")) {
       advance();
-      expect(";");
       st->kind = Stmt::Return;
-      return st;
-    }
-    if (cur.kind == Tok::Ident && is_type(cur.text)) {
-      // declaration: type name (= expr)? ;   (single declarator)
-      st->kind = Stmt::Decl;
-      advance();
-      st->name = expect_ident();
-      if (is_punct("=")) {
-        advance();
-        st->expr = parse_expr();
-      }
+      if (!is_punct(";")) st->expr = parse_expr();
       expect(";");
       return st;
     }
-    if (cur.kind == Tok::Ident) {
-      // assignment: name (.swz)? (=|+=|-=|*=|/=) expr ;  — or a bare call
-      std::string name = cur.text;
-      size_t save_i = lex.i;
-      Token save_cur = cur;
-      advance();
-      std::string swz;
-      if (is_punct(".")) {
-        advance();
-        swz = expect_ident();
-      }
-      if (cur.kind == Tok::Punct &&
-          (cur.text == "=" || cur.text == "+=" || cur.text == "-=" ||
-           cur.text == "*=" || cur.text == "/=")) {
-        st->kind = Stmt::Assign;
-        st->name = name;
-        st->swizzle = swz;
-        st->op = cur.text;
-        advance();
-        st->expr = parse_expr();
-        expect(";");
-        return st;
-      }
-      // not an assignment — rewind and parse as an expression statement
-      lex.i = save_i;
-      cur = save_cur;
-    }
-    st->kind = Stmt::ExprStmt;
-    st->expr = parse_expr();
+    st = parse_simple_stmt();
     expect(";");
     return st;
   }
@@ -460,6 +531,12 @@ struct Interp {
   std::map<std::string, Sampler> samplers;
   std::map<std::string, Val> locals;    // per-pixel
   bool returned = false;
+  Val ret_val;                          // value of the innermost `return e;`
+  int call_depth = 0;                   // user-function recursion guard
+  // Per-pixel loop budget: a fragment shader that spins 10^6 iterations on
+  // ONE pixel is runaway (GLSL itself forbids unbounded loops); erroring
+  // loudly beats hanging the batch pipeline.
+  static constexpr long kMaxLoopIters = 1000000;
 
   explicit Interp(const Shader& s) : sh(s) {}
 
@@ -578,6 +655,10 @@ struct Interp {
 
   Val eval_call(const Expr& e) {
     const std::string& fn = e.name;
+    // user-defined functions (parsed at the top level) take precedence,
+    // mirroring GLSL's permission to overload builtins
+    auto fit = sh.functions.find(fn);
+    if (fit != sh.functions.end()) return call_user(fit->second, e);
     // constructors
     if (fn == "float" || fn == "int") return Val::scalar(eval(*e.args[0]).v[0]);
     if (fn == "vec2" || fn == "vec3" || fn == "vec4") {
@@ -685,9 +766,46 @@ struct Interp {
     throw EvalError("unsupported function '" + fn + "'");
   }
 
+  Val call_user(const Func& f, const Expr& e) {
+    if (e.args.size() != f.param_names.size())
+      throw EvalError("function '" + e.name + "' expects " +
+                      std::to_string(f.param_names.size()) + " arguments, got " +
+                      std::to_string(e.args.size()));
+    if (++call_depth > 64) {
+      --call_depth;
+      throw EvalError("call depth exceeded in '" + e.name +
+                      "' (recursion is not allowed in GLSL)");
+    }
+    // evaluate args in the caller's scope, then run the body in a fresh one
+    std::vector<Val> argv;
+    argv.reserve(e.args.size());
+    for (const auto& a : e.args) argv.push_back(eval(*a));
+    std::map<std::string, Val> saved_locals;
+    saved_locals.swap(locals);
+    bool saved_returned = returned;
+    for (size_t i = 0; i < argv.size(); ++i) locals[f.param_names[i]] = argv[i];
+    returned = false;
+    ret_val = Val{};
+    exec(f.body);
+    Val result = ret_val;
+    if (!returned && f.ret_type != "void")
+      throw EvalError("function '" + e.name + "' ended without a return");
+    locals.swap(saved_locals);
+    returned = saved_returned;
+    --call_depth;
+    return result;
+  }
+
   void exec(const std::vector<StmtP>& body) {
     for (const auto& st : body) {
       if (returned) return;
+      exec_stmt(*st);
+    }
+  }
+
+  void exec_stmt(const Stmt& stmt) {
+    const Stmt* st = &stmt;
+    {
       switch (st->kind) {
         case Stmt::Decl:
           locals[st->name] = st->expr ? eval(*st->expr) : Val{};
@@ -732,7 +850,32 @@ struct Interp {
           exec(c.v[0] != 0.f ? st->then_body : st->else_body);
           break;
         }
+        case Stmt::For: {
+          if (st->init) exec_stmt(*st->init);
+          long iters = 0;
+          while (!st->expr || eval(*st->expr).v[0] != 0.f) {
+            exec(st->then_body);
+            if (returned) break;
+            if (st->incr) exec_stmt(*st->incr);
+            if (++iters > kMaxLoopIters)
+              throw EvalError("for-loop exceeded the per-pixel iteration "
+                              "budget (1e6) — unbounded loop?");
+          }
+          break;
+        }
+        case Stmt::While: {
+          long iters = 0;
+          while (eval(*st->expr).v[0] != 0.f) {
+            exec(st->then_body);
+            if (returned) break;
+            if (++iters > kMaxLoopIters)
+              throw EvalError("while-loop exceeded the per-pixel iteration "
+                              "budget (1e6) — unbounded loop?");
+          }
+          break;
+        }
         case Stmt::Return:
+          ret_val = st->expr ? eval(*st->expr) : Val{};
           returned = true;
           return;
         case Stmt::ExprStmt:

@@ -4,11 +4,15 @@
 // shaders on an offscreen GL framebuffer (reference:
 // shader_processor/src/shader.cpp:3-62, main.cpp:126-148).  This environment
 // is headless, so the equivalent capability is a small interpreter for the
-// single-texture fragment pattern those shaders use: straight-line GLSL 330
-// with uniforms (incl. default initializers), vec2/3/4 arithmetic, swizzles,
-// texture() sampling of u_texture/u_depth (bilinear, clamp-to-edge), the
-// common builtins (floor/step/mix/clamp/smoothstep/...), if/else, and
-// assignment to the declared `out vec4` variable.
+// single-texture fragment pattern those shaders use: GLSL 330 with uniforms
+// (incl. default initializers), vec2/3/4 arithmetic, swizzles, texture()
+// sampling of u_texture/u_depth (bilinear, clamp-to-edge), the common
+// builtins (floor/step/mix/clamp/smoothstep/...), if/else, for/while loops
+// (capped at 1e6 iterations per pixel — runaway loops error loudly instead
+// of hanging), user-defined helper functions (value returns, by-value
+// params, no recursion — as in GLSL), i++/i--, and assignment to the
+// declared `out vec4` variable.  Unsupported constructs (break/continue,
+// structs, arrays) fail with a parse error naming them.
 //
 // Semantics notes:
 // - texcoord origin is top-left with v increasing downward, so

@@ -29,3 +29,10 @@ Image load_png(const std::string& path);
 
 // Save an RGB8 or gray8 image as PNG. Returns false on failure.
 bool save_png(const std::string& path, const Image& img);
+
+// Extension-dispatched IO, matching the reference Texture::saveImage
+// png/jpg/bmp format set (reference: shader_processor/src/texture.cpp:71-85).
+// load: .png or .jpg/.jpeg (libjpeg); save: .png, .jpg/.jpeg (quality 92),
+// .bmp (24-bit uncompressed).  Unknown extensions fall back to PNG encoding.
+Image load_image(const std::string& path);
+bool save_image(const std::string& path, const Image& img);

@@ -67,7 +67,7 @@ int main(int argc, char* argv[]) {
     return 1;
   }
 
-  Image rgb = load_png(input_path);
+  Image rgb = load_image(input_path);
   if (rgb.empty()) {
     std::fprintf(stderr, "error: cannot read %s\n", input_path.c_str());
     return 2;
@@ -85,7 +85,7 @@ int main(int argc, char* argv[]) {
 
   Image depth;
   if (!depth_path.empty()) {
-    depth = load_png(depth_path);
+    depth = load_image(depth_path);
     if (depth.empty())
       std::fprintf(stderr, "warning: cannot read depth %s, continuing without\n",
                    depth_path.c_str());
@@ -126,7 +126,7 @@ int main(int argc, char* argv[]) {
       return 3;
   }
 
-  if (!save_png(output_path, out)) {
+  if (!save_image(output_path, out)) {
     std::fprintf(stderr, "error: cannot write %s\n", output_path.c_str());
     return 2;
   }

@@ -366,3 +366,152 @@ def test_bridge_fallback_without_binary(tmp_path):
     from danerf_tpu.fx import apply_effect
 
     np.testing.assert_array_equal(out, np.asarray(apply_effect("Sepia", rgb)))
+
+
+def test_glsl_for_loop_blur(io_dir, tmp_path):
+    """Constant-bound for-loops (VERDICT item 5): a 3x3 box blur .frag must
+    match the NumPy clamp-to-edge reference pixel-for-pixel (texel-center
+    sampling makes bilinear exact)."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "blur.frag"
+    frag.write_text("""
+#version 330 core
+in vec2 v_texCoord;
+out vec4 FragColor;
+uniform sampler2D u_texture;
+uniform vec2 u_resolution;
+void main() {
+    vec3 acc = vec3(0.0);
+    float n = 0.0;
+    for (int dy = -1; dy <= 1; dy++) {
+        for (int dx = -1; dx <= 1; dx++) {
+            vec2 off = vec2(float(dx) / u_resolution.x,
+                            float(dy) / u_resolution.y);
+            acc += texture(u_texture, v_texCoord + off).rgb;
+            n += 1.0;
+        }
+    }
+    FragColor = vec4(acc / n, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "blur.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "blur.png").astype(np.float64) / 255.0
+
+    img = rgb.astype(np.float64) / 255.0
+    h, w = img.shape[:2]
+    want = np.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys = np.clip(np.arange(h) + dy, 0, h - 1)
+            xs = np.clip(np.arange(w) + dx, 0, w - 1)
+            want += img[ys][:, xs]
+    want /= 9.0
+    np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
+
+
+def test_glsl_user_functions(io_dir, tmp_path):
+    """User-defined helper functions with value returns (VERDICT item 5)."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "helper.frag"
+    frag.write_text("""
+#version 330 core
+in vec2 v_texCoord;
+out vec4 FragColor;
+uniform sampler2D u_texture;
+float luma(vec3 c) { return dot(c, vec3(0.299, 0.587, 0.114)); }
+vec3 quantize(vec3 c, float levels) { return floor(c * levels) / levels; }
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    FragColor = vec4(mix(quantize(c, 4.0), vec3(luma(c)), 0.5), 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "h.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "h.png").astype(np.float64) / 255.0
+    img = rgb.astype(np.float64) / 255.0
+    lum = (img * [0.299, 0.587, 0.114]).sum(-1, keepdims=True)
+    want = 0.5 * np.floor(img * 4) / 4 + 0.5 * lum
+    np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
+
+
+def test_glsl_while_loop_and_break_rejected(io_dir, tmp_path):
+    td, _, _ = io_dir
+    frag = tmp_path / "w.frag"
+    frag.write_text("""
+void main() {
+    float s = 0.0;
+    int i = 0;
+    while (i < 4) { s += 0.25; i++; }
+    gl_FragColor = vec4(s, s, s, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "w.png")])
+    assert r.returncode == 0, r.stderr
+    assert (_read(td / "w.png") == 255).all()
+
+    bad = tmp_path / "bad.frag"
+    bad.write_text("void main() { for (int i = 0; i < 5; i++) { break; } }")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(bad),
+              "--output", str(td / "x.png")])
+    assert r.returncode == 3 and "break" in r.stderr
+
+
+def test_glsl_runaway_loop_errors(io_dir, tmp_path):
+    td, _, _ = io_dir
+    frag = tmp_path / "spin.frag"
+    frag.write_text("""
+void main() {
+    float s = 0.0;
+    for (int i = 0; i >= 0; i++) { s += 1.0; }
+    gl_FragColor = vec4(s);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "s.png")])
+    assert r.returncode == 3 and "iteration budget" in r.stderr
+
+
+def test_glsl_recursion_rejected(io_dir, tmp_path):
+    td, _, _ = io_dir
+    frag = tmp_path / "rec.frag"
+    frag.write_text("""
+float f(float x) { return f(x) + 1.0; }
+void main() { gl_FragColor = vec4(f(1.0)); }
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "r.png")])
+    assert r.returncode == 3 and "recursion" in r.stderr
+
+
+def test_jpg_bmp_output(io_dir):
+    """Extension-dispatched jpg/bmp output (reference texture.cpp:71-85)."""
+    td, rgb, _ = io_dir
+    # bmp is lossless: random noise must round-trip exactly
+    r = _run(["--input", str(td / "in.png"), "--output", str(td / "out.bmp"),
+              "--effect", "passthrough"])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_array_equal(_read(td / "out.bmp"), rgb)
+
+    # jpg is lossy (noise is its worst case) — use a smooth gradient
+    g = np.linspace(0, 255, 20, dtype=np.uint8)
+    smooth = np.stack([np.tile(g, (20, 1))] * 3, -1)
+    _write(td / "grad.png", smooth)
+    r = _run(["--input", str(td / "grad.png"), "--output", str(td / "out.jpg"),
+              "--effect", "passthrough"])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "out.jpg")
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 3.0
+
+
+def test_jpg_input(io_dir):
+    td, rgb, _ = io_dir
+    Image.fromarray(rgb).save(td / "in.jpg", quality=98)
+    r = _run(["--input", str(td / "in.jpg"), "--output", str(td / "o.png"),
+              "--effect", "passthrough"])
+    assert r.returncode == 0, r.stderr
+    assert _read(td / "o.png").shape == rgb.shape
