@@ -134,6 +134,15 @@ class ShaderBridge:
         """Run one image through the native tool; fall back to fx on failure."""
         shader_path = os.path.join(self.shader_dir, shader_name)
         if not os.path.exists(shader_path):
+            if not self.use_native:
+                # the fx fallback resolves effects by NAME, so a missing
+                # file is fine there — but say so when even the name is
+                # unknown (see _apply_fallback)
+                return self._apply_fallback(image, depth, shader_name, params)
+            import warnings
+
+            warnings.warn(f"shader file {shader_path!r} not found; using "
+                          f"default.frag (passthrough)", stacklevel=2)
             shader_path = os.path.join(self.shader_dir, "default.frag")
 
         if not self.use_native:
@@ -159,17 +168,69 @@ class ShaderBridge:
                 subprocess.run(cmd, check=True, capture_output=True)
                 with PILImage.open(out_path) as img:
                     return np.asarray(img)
-            except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+                import warnings
+
+                detail = ""
+                if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+                    detail = ": " + e.stderr.decode(errors="replace").strip()
+                warnings.warn(f"native shader_processor failed on "
+                              f"{shader_name!r}{detail}; falling back to the "
+                              f"Python fx pipeline", stacklevel=2)
                 return self._apply_fallback(image, depth, shader_name, params)
 
+    @staticmethod
+    def parse_directives(shader_path: str):
+        """Read the ``// effect:`` / ``// param: k=v`` directives this
+        bridge writes into its .frag files (and shader_parse.cpp executes
+        natively), so the Python fallback honors the same contract."""
+        effect, dparams = None, {}
+        try:
+            with open(shader_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line.startswith("// effect:"):
+                        effect = line.split(":", 1)[1].strip()
+                    elif line.startswith("// param:"):
+                        kv = line.split(":", 1)[1].strip()
+                        if "=" in kv:
+                            k, v = kv.split("=", 1)
+                            try:
+                                dparams[k.strip()] = float(v)
+                            except ValueError:
+                                pass
+        except OSError:
+            pass
+        return effect, dparams
+
     def _apply_fallback(self, image, depth, shader_name, params):
-        """Python fallback: route through the jitted fx pipeline
-        (reference falls back to NumPy effects, src/shader_system.py:177-213)."""
-        name = shader_name.rsplit(".", 1)[0].lower()
-        fx_name = {"toon": "Toon Shader", "fog": "Fog", "sepia": "Sepia",
-                   "vignette": "Vignette", "posterize": "Posterize"}.get(name)
-        if fx_name is None:
-            return np.asarray(image)
+        """Python fallback: route through the jitted fx pipeline (the
+        reference falls back to NumPy effects, src/shader_system.py:177-213).
+
+        The effect comes from the shader file's ``// effect:`` directive when
+        present, else the filename stem.  An effect the fx pipeline doesn't
+        implement degrades to the unprocessed image WITH a warning naming the
+        shader — never a silent identity return.
+        """
+        import warnings
+
+        shader_path = os.path.join(self.shader_dir, shader_name)
+        effect, dparams = self.parse_directives(shader_path)
+        name = effect or shader_name.rsplit(".", 1)[0].lower()
+        merged = dict(dparams)
+        if params:
+            merged.update(params)
+        fx_name = {"toon": "Toon Shader", "sketch": "Pencil Sketch",
+                   "passthrough": "Original", "default": "Original"}.get(
+                       name, name)
         from danerf_tpu.fx import apply_effect
 
-        return np.asarray(apply_effect(fx_name, image, depth, params))
+        try:
+            return np.asarray(apply_effect(fx_name, image, depth, merged))
+        except KeyError:
+            warnings.warn(
+                f"shader {shader_name!r} (effect {name!r}) has no Python fx "
+                f"fallback; returning the image UNPROCESSED. Build the native "
+                f"tool (danerf_tpu.native.ensure_built) to run it.",
+                stacklevel=2)
+            return np.asarray(image)

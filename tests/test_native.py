@@ -515,3 +515,35 @@ def test_jpg_input(io_dir):
               "--effect", "passthrough"])
     assert r.returncode == 0, r.stderr
     assert _read(td / "o.png").shape == rgb.shape
+
+
+def test_bridge_fallback_honors_directives(tmp_path):
+    """VERDICT item 6: the no-binary fallback must parse `// effect:` /
+    `// param:` directives instead of silently returning the input."""
+    b = ShaderBridge(binary_path=str(tmp_path / "missing_binary"),
+                     shader_dir=str(tmp_path / "shaders"), auto_build=False)
+    assert not b.use_native
+    # write a custom-named shader whose directive says posterize
+    (tmp_path / "shaders" / "mystyle.frag").write_text(
+        "// effect: posterize\n// param: levels=3\nvoid main() {}\n")
+    rgb = (np.linspace(0, 255, 8 * 8 * 3).reshape(8, 8, 3)).astype(np.uint8)
+    out = b.apply_shader(rgb, shader_name="mystyle.frag")
+    from danerf_tpu.fx import apply_effect
+
+    want = np.asarray(apply_effect("Posterize", rgb, None, {"levels": 3.0}))
+    np.testing.assert_array_equal(out, want)
+
+
+def test_bridge_fallback_unknown_effect_warns(tmp_path):
+    """An unmappable shader must degrade WITH a warning, never silently."""
+    import warnings as w
+
+    b = ShaderBridge(binary_path=str(tmp_path / "missing_binary"),
+                     shader_dir=str(tmp_path / "shaders"), auto_build=False)
+    rgb = np.full((8, 8, 3), 50, np.uint8)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = b.apply_shader(rgb, shader_name="no_such_style.frag")
+    np.testing.assert_array_equal(out, rgb)
+    assert any("no_such_style" in str(c.message)
+               and "UNPROCESSED" in str(c.message) for c in caught)
