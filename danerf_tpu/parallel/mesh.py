@@ -119,16 +119,38 @@ def _sharding_tree(pspecs, mesh):
         is_leaf=lambda x: isinstance(x, P))
 
 
+def _global_put(x, sharding: NamedSharding):
+    """device_put that also works when the mesh spans MULTIPLE PROCESSES.
+
+    jax.device_put requires fully-addressable shardings; on a multi-process
+    mesh each process holds only its local shards, so the global array is
+    assembled with make_array_from_callback from the host value — which the
+    SPMD contract (module docstring) guarantees is identical in every
+    process.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys can't round-trip through numpy; move the raw key
+        # data and re-wrap (bitcast) under the same impl
+        impl = jax.random.key_impl(x)
+        data = _global_put(jax.random.key_data(x), sharding)
+        return jax.jit(partial(jax.random.wrap_key_data, impl=impl))(data)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_train_state(state, mesh: Mesh, tensor_parallel: bool = False):
     """Place a TrainState on the mesh (params per param_pspecs, rest replicated)."""
     shardings = _sharding_tree(param_pspecs(state.params, tensor_parallel), mesh)
-    params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    params = jax.tree_util.tree_map(_global_put, state.params, shardings)
     # Adam moments mirror the param shardings via sharding propagation; initial
     # placement replicated is fine (they're re-laid-out on first update).
     rep = NamedSharding(mesh, P())
-    opt_state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.opt_state)
+    opt_state = jax.tree_util.tree_map(lambda x: _global_put(x, rep), state.opt_state)
     return type(state)(params, opt_state,
-                       jax.device_put(state.step, rep), jax.device_put(state.key, rep))
+                       _global_put(state.step, rep), _global_put(state.key, rep))
 
 
 def replicate_pool(pool, mesh: Mesh):
@@ -139,7 +161,7 @@ def replicate_pool(pool, mesh: Mesh):
     avoids any cross-device gather in the hot loop.
     """
     rep = NamedSharding(mesh, P())
-    return {k: jax.device_put(v, rep) for k, v in pool.items()}
+    return {k: _global_put(v, rep) for k, v in pool.items()}
 
 
 # ------------------------------------------------------------ sharded steps

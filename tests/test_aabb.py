@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from danerf_tpu.config import NeRFConfig
 from danerf_tpu.data import make_synthetic_scene
@@ -65,6 +66,7 @@ def test_render_rays_with_aabb_concentrates_samples():
     np.testing.assert_allclose(z2.max(), 6.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_aabb_training_quality_at_reduced_samples():
     """Same sample budget, tighter bounds => at least as good reconstruction
     on the procedural scene (blobs live inside [-1.3, 1.3]^3)."""

@@ -107,6 +107,7 @@ def test_convert_rejects_layer_mismatch():
         convert_state_dict(sd, CFG.replace(num_layers=8))
 
 
+@pytest.mark.slow
 def test_cli_render_from_reference_pt(tmp_path, monkeypatch):
     """CLI render must accept a reference .pt checkpoint directly."""
     from danerf_tpu.cli import main as cli

@@ -119,6 +119,7 @@ def test_blender_loader_roundtrip(tmp_path):
     np.testing.assert_allclose(ds.focal, 0.5 * 16 / np.tan(0.5 * 0.6911), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_load_dataset_falls_back_to_synthetic(tmp_path):
     cfg = CFG.replace(dataset_path=str(tmp_path), scene="nonexistent")
     ds = load_dataset(cfg, "val")

@@ -71,6 +71,7 @@ def test_render_plus_depth_effect_pipeline(trained):
     assert out.mean() > rgb_u8.mean()
 
 
+@pytest.mark.slow
 def test_cli_train_and_render_smoke(tmp_path, monkeypatch):
     """CLI end-to-end on a tiny run (uses the synthetic-scene fallback)."""
     from danerf_tpu.cli import main as cli

@@ -266,6 +266,7 @@ def test_fused_march_gradients_match_core():
                                    rtol=1e-4, err_msg="march grad mismatch")
 
 
+@pytest.mark.slow
 def test_fused_march_gradients_hierarchical():
     """Hierarchical training path through the fused march (coarse + fine both
     fused, coarse aux loss, weights stop-gradiented into sample_pdf): grads
@@ -350,6 +351,7 @@ def test_merged_kernel_equals_full_eval_on_union():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_merged_kernel_gradients_equal_full_eval():
     """Gradients through the merged path (fine cotangents reaching the coarse
     kernel via the field cotangent) must equal gradients of the full-union
@@ -498,6 +500,7 @@ def test_onepass_hier_train_matches_vjp_path():
                                    rtol=1e-4, err_msg=f"hier onepass {path}")
 
 
+@pytest.mark.slow
 def test_onepass_train_kernel_bf16_runs_and_learns():
     """The PRODUCTION config runs bf16 kernels; CI otherwise only exercises
     f32.  The bf16 one-pass step must produce finite loss/grads that agree
@@ -544,6 +547,7 @@ def test_onepass_train_kernel_bf16_runs_and_learns():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_density_robustness_knobs():
     """softplus density + bias init: kernel matches XLA path (fwd and grads),
     and the born-dead-seed scenario (parity_report.json: seed 1 never trains
@@ -604,6 +608,7 @@ def test_density_robustness_knobs():
     assert float(jnp.mean(sig > 0)) > 0.5
 
 
+@pytest.mark.slow
 def test_hier_onepass_fused_matches_twokernel_and_autodiff():
     """The ONE-kernel hierarchical train step (coarse march + in-kernel
     inverse-CDF + merged fine + both losses + full backward in a single

@@ -121,6 +121,7 @@ def test_linear_init_statistics_vs_torch():
     np.testing.assert_allclose(jw.std(), tw.std(), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_mirror_trajectory_tracks_torch_reference():
     """The JAX mirror of the reference trainer (benchmarks/jax_reference.py)
     must be trajectory-PAIRED with the torch trainer: same torch-exported

@@ -132,6 +132,7 @@ def _jax_train(scene, iters=ITERS, seed=0):
     return -10 * np.log10(np.mean(mses[-20:]))
 
 
+@pytest.mark.slow
 def test_trained_psnr_statistically_equivalent():
     scene = make_synthetic_scene("train", n_images=4, height=32, width=32)
     p_torch = _torch_train(scene)
