@@ -193,17 +193,22 @@ def _field_from_enc(cfg: NeRFConfig, enc_x, enc_d, emb, p):
     wdir, bdir = p[2 * n_layers + 2], p[2 * n_layers + 3]
     dcat = jnp.concatenate([h, enc_d], axis=-1)
     hdir_pre = _dot(dcat, wdir, cdt) + bdir
+    dir_gate = hdir_pre > 0  # stashed as bool, like the trunk gates
     hdir = jax.nn.relu(hdir_pre)
 
     wapp, bapp = p[2 * n_layers + 4], p[2 * n_layers + 5]
     happ = hdir + _dot(emb, wapp, cdt) + bapp
 
     wrgb, brgb = p[2 * n_layers + 6], p[2 * n_layers + 7]
-    rgb = jax.nn.sigmoid(_dot(happ, wrgb, cdt) + brgb)
+    rgb = jnp.asarray(jax.nn.sigmoid(_dot(happ, wrgb, cdt) + brgb))
 
+    # Residual dtype discipline: happ is stashed in the COMPUTE dtype — its
+    # only backward consumer is dotT_a(happ, .), which casts to cdt anyway,
+    # so bf16 storage is value-identical and halves the stash.  hdir_pre is
+    # stashed as its relu gate (bool); hdir itself is not needed backward.
     res = dict(enc_x=enc_x, enc_d=enc_d, hs=hs, ins=ins, gates=gates,
-               sigma_pre=sigma_pre, dcat=dcat, hdir_pre=hdir_pre, hdir=hdir,
-               happ=happ, rgb=rgb)
+               sigma_pre=sigma_pre, dcat=dcat, dir_gate=dir_gate,
+               happ=happ.astype(cdt), rgb=rgb)
     return rgb, sigma, res
 
 
@@ -304,7 +309,7 @@ def _field_bwd_from_res(cfg: NeRFConfig, n_params: int, p, r, emb,
 
     # dir branch: hdir = relu([h8, enc_d] @ Wdir + bdir)
     wdir = p[2 * n_layers + 2]
-    d_hdir_pre = d_happ * (r["hdir_pre"] > 0)
+    d_hdir_pre = jnp.where(r["dir_gate"], d_happ, 0.0)
     grads[2 * n_layers + 2] = dotT_a(r["dcat"], d_hdir_pre)
     grads[2 * n_layers + 3] = jnp.sum(d_hdir_pre, axis=0, keepdims=True)
     d_h = dot_wT(d_hdir_pre, wdir)[:, :hidden]  # enc_d part is data

@@ -50,9 +50,11 @@ from danerf_tpu.kernels.fused_mlp import (_COMPILER_PARAMS, _accumulate_grads,
                                           _field_bwd_from_res, _field_from_enc,
                                           pack_params)
 
-# Samples per tile (TR = RENDER_TILE // S rays).  Matches the forward-only
-# VMEM budget of the per-sample kernel (bf16 @ 2048; fp32 halves it).
-RENDER_TILE = int(os.environ.get("DANERF_PALLAS_RENDER_TILE", "2048"))
+# Samples per tile (TR = RENDER_TILE // S rays).  Swept on v5e
+# (benchmarks/ab_render_hier.py): 4096 is the 800x800 frame's best for both
+# coarse (446 ms vs 454 @ 2048) and hierarchical (955 ms vs 997 @ 2048);
+# 8192/16384 regress.  fp32 halves the safe budget.
+RENDER_TILE = int(os.environ.get("DANERF_PALLAS_RENDER_TILE", "4096"))
 
 
 def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,

@@ -1,6 +1,12 @@
-"""The BASELINE.json parity experiment: train this framework AND the torch
-reference-semantics trainer under the same config on the same data, and record
-both PSNRs in examples/parity_report.json.
+"""Single-seed same-data parity run (torch vs this framework), kept as the
+script for the FULL-SCALE real-data measurement (800x800 chair / 30k iters)
+once data egress exists — fetch with examples/fetch_nerf_synthetic.sh, then:
+    python examples/parity_chair.py --data data/nerf_synthetic/chair \
+        --iters 30000 --out examples/parity_report_fullscale.json
+
+The in-repo headline parity experiment is the MULTI-SEED study in
+examples/parity_study.py (statistics across seeds/arms, symmetric dead-seed
+handling, f32 and hierarchical arms, torch anchors) — see its module doc.
 
 Data: point --data at a real nerf_synthetic scene directory (e.g.
 ``data/nerf_synthetic/chair`` after running examples/fetch_nerf_synthetic.sh).

@@ -121,7 +121,11 @@ def mirror_run(cfg, train_ds, val_ds, iters, seed):
     return {"seed": seed, "dead_at_init": False, "probe_max_sigma": probe,
             "val_psnr": ev["psnr"], "val_ssim": ev["ssim"],
             "per_view": ev["per_view"], "train_seconds": train_s,
-            "final_train_psnr": float(-10 * np.log10(np.mean(mses[-100:])))}
+            "final_train_psnr": float(-10 * np.log10(np.mean(mses[-100:]))),
+            # per-100-step mean-MSE trace: directly comparable to the torch
+            # anchor's mse_trace_every100 (same init + same RNG stream)
+            "mse_trace_every100": [float(np.mean(mses[j:j + 100]))
+                                   for j in range(0, len(mses), 100)]}
 
 
 def collect_arm(name, run_fn, cfg, train_ds, val_ds, iters, n_seeds,
