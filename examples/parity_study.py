@@ -282,6 +282,33 @@ def main():
                     anchors.append({"file": fn, **json.load(f)})
     if anchors:
         report["torch_anchors"] = anchors
+        # trajectory pairing: anchor seed k shares init + RNG stream with
+        # mirror (reference-arm) seed k, so their per-100-step MSE traces are
+        # directly comparable — fp drift aside, they run the SAME program
+        for a in anchors:
+            mirror_path = os.path.join(
+                RUNS_DIR,
+                ("reference_hier" if a.get("hier") else "reference")
+                + f"_seed{a.get('seed', 0)}.json")
+            tr_a = a.get("mse_trace_every100")
+            if not (tr_a and os.path.isfile(mirror_path)):
+                continue
+            with open(mirror_path) as f:
+                m = json.load(f)
+            tr_m = m.get("mse_trace_every100")
+            if not tr_m:
+                continue
+            k = min(len(tr_a), len(tr_m))
+            la = np.log(np.maximum(np.asarray(tr_a[:k]), 1e-12))
+            lm = np.log(np.maximum(np.asarray(tr_m[:k]), 1e-12))
+            a["mirror_pairing"] = {
+                "mirror_file": os.path.basename(mirror_path),
+                "n_trace_points": k,
+                "log_mse_correlation": float(np.corrcoef(la, lm)[0, 1]),
+                "train_psnr_tail_delta_mirror_minus_torch": (
+                    float(m.get("final_train_psnr", np.nan)
+                          - a.get("train_psnr_tail", np.nan))),
+            }
     for extra in ("dead_rates", "equivalence"):
         path = os.path.join(RUNS_DIR, f"{extra}.json")
         if os.path.isfile(path):
