@@ -159,6 +159,7 @@ struct Shader {
     std::string type;
   };
   std::map<std::string, Uniform> uniforms;
+  std::map<std::string, Val> consts;      // top-level `const TYPE n = expr;`
   std::map<std::string, Func> functions;  // user-defined helper functions
   std::string in_name;   // `in vec2 <name>` — the texcoord
   std::string out_name;  // `out vec4 <name>` — the fragment color
@@ -215,6 +216,16 @@ struct Parser {
         }
         expect(";");
         sh.uniforms[name] = std::move(u);
+      } else if (is_ident("const")) {
+        // top-level constant: const TYPE name = <literal expr>;
+        advance();
+        std::string type = expect_ident();
+        if (!is_type(type)) fail("bad const type '" + type + "'");
+        std::string name = expect_ident();
+        expect("=");
+        ExprP e = parse_expr();
+        sh.consts[name] = const_eval(*e);
+        expect(";");
       } else if (is_ident("in") || is_ident("varying")) {
         advance();
         expect_ident();  // type
@@ -268,6 +279,7 @@ struct Parser {
   // declaration, assignment (incl. compound), i++/i--, or expression
   StmtP parse_simple_stmt() {
     auto st = std::make_unique<Stmt>();
+    if (is_ident("const")) advance();  // const-ness is not enforced
     if (cur.kind == Tok::Ident && is_type(cur.text)) {
       st->kind = Stmt::Decl;
       advance();
@@ -908,6 +920,7 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
     if (sh.body.empty()) throw EvalError("shader has no main() body");
 
     Interp in(sh);
+    for (const auto& kv : sh.consts) in.globals[kv.first] = kv.second;
     // bind samplers by convention (reference main.cpp:126-137 binds
     // u_texture to unit 0 and u_depth to unit 1)
     for (const auto& kv : sh.uniforms) {

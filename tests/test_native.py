@@ -547,3 +547,28 @@ def test_bridge_fallback_unknown_effect_warns(tmp_path):
     np.testing.assert_array_equal(out, rgb)
     assert any("no_such_style" in str(c.message)
                and "UNPROCESSED" in str(c.message) for c in caught)
+
+
+def test_glsl_const_declarations(io_dir, tmp_path):
+    """Top-level and local `const` declarations (ubiquitous in real shaders)."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "const.frag"
+    frag.write_text("""
+const float LEVELS = 4.0;
+const vec3 TINT = vec3(1.0, 0.5, 0.25);
+in vec2 v_texCoord;
+out vec4 FragColor;
+uniform sampler2D u_texture;
+void main() {
+    const float gain = 2.0;
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    FragColor = vec4(floor(c * LEVELS) / LEVELS * TINT * (gain * 0.5), 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "c.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "c.png").astype(np.float64) / 255.0
+    img = rgb.astype(np.float64) / 255.0
+    want = np.floor(img * 4) / 4 * [1.0, 0.5, 0.25]
+    np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
