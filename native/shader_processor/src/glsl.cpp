@@ -124,22 +124,25 @@ struct Expr;
 using ExprP = std::unique_ptr<Expr>;
 
 struct Expr {
-  enum Kind { Num, Var, Call, Member, Binary, Unary, Ternary } kind;
+  enum Kind { Num, Var, Call, Member, Binary, Unary, Ternary, Index } kind;
   double num = 0;                  // Num
   std::string name;                // Var, Call (fn name), Member (swizzle), Binary/Unary (op)
-  std::vector<ExprP> args;         // Call args; Member base; Binary l,r; Unary e; Ternary c,a,b
+  std::vector<ExprP> args;         // Call args; Member base; Binary l,r; Unary e;
+                                   // Ternary c,a,b; Index base,idx
 };
 
 struct Stmt;
 using StmtP = std::unique_ptr<Stmt>;
 
 struct Stmt {
-  enum Kind { Decl, Assign, If, Return, ExprStmt, For, While } kind;
-  std::string name;      // Decl/Assign target
-  std::string swizzle;   // Assign: non-empty for `x.rgb = ...`
+  enum Kind { Decl, DeclArr, Assign, If, Return, ExprStmt, For, While } kind;
+  std::string name;      // Decl/DeclArr/Assign target
+  std::string swizzle;   // Assign: non-empty for `x.rgb = ...` / `k[i].x = ...`
   std::string op;        // Assign: "=", "+=", ...
-  ExprP expr;            // Decl init / Assign rhs / If|For|While cond /
-                         // ExprStmt / Return value (may be null)
+  ExprP expr;            // Decl init / DeclArr declared size / Assign rhs /
+                         // If|For|While cond / ExprStmt / Return (may be null)
+  ExprP index;           // Assign: non-null for element target `k[i] = ...`
+  std::vector<ExprP> elems;  // DeclArr: `float[](e0, e1, ...)` initializer
   std::vector<StmtP> then_body, else_body;  // If; For/While body = then_body
   StmtP init, incr;      // For
 };
@@ -160,6 +163,7 @@ struct Shader {
   };
   std::map<std::string, Uniform> uniforms;
   std::map<std::string, Val> consts;      // top-level `const TYPE n = expr;`
+  std::map<std::string, std::vector<Val>> const_arrays;  // `const TYPE n[k] = TYPE[](...)`
   std::map<std::string, Func> functions;  // user-defined helper functions
   std::string in_name;   // `in vec2 <name>` — the texcoord
   std::string out_name;  // `out vec4 <name>` — the fragment color
@@ -218,14 +222,35 @@ struct Parser {
         sh.uniforms[name] = std::move(u);
       } else if (is_ident("const")) {
         // top-level constant: const TYPE name = <literal expr>;
+        // or const array:    const TYPE name[k] = TYPE[](e0, ..., ek-1);
         advance();
         std::string type = expect_ident();
         if (!is_type(type)) fail("bad const type '" + type + "'");
         std::string name = expect_ident();
-        expect("=");
-        ExprP e = parse_expr();
-        sh.consts[name] = const_eval(*e);
-        expect(";");
+        if (is_punct("[")) {
+          advance();
+          ExprP size;
+          if (!is_punct("]")) size = parse_expr();
+          expect("]");
+          expect("=");
+          std::vector<ExprP> elems = parse_array_ctor();
+          expect(";");
+          std::vector<Val> vals;
+          vals.reserve(elems.size());
+          for (const auto& el : elems) vals.push_back(const_eval(*el));
+          if (size) {
+            int n = int(const_eval(*size).v[0]);
+            if (n != int(vals.size()))
+              fail("const array '" + name + "' declares " + std::to_string(n) +
+                   " elements but initializes " + std::to_string(vals.size()));
+          }
+          sh.const_arrays[name] = std::move(vals);
+        } else {
+          expect("=");
+          ExprP e = parse_expr();
+          sh.consts[name] = const_eval(*e);
+          expect(";");
+        }
       } else if (is_ident("in") || is_ident("varying")) {
         advance();
         expect_ident();  // type
@@ -251,6 +276,11 @@ struct Parser {
           std::string ptype = expect_ident();
           if (!is_type(ptype)) fail("bad parameter type '" + ptype + "'");
           f.param_names.push_back(expect_ident());
+          if (is_punct("[")) {  // array parameter `float k[9]` (by value)
+            advance();
+            if (!is_punct("]")) parse_expr();  // declared size: unchecked
+            expect("]");
+          }
           if (is_punct(",")) advance();
         }
         expect(")");
@@ -284,6 +314,17 @@ struct Parser {
       st->kind = Stmt::Decl;
       advance();
       st->name = expect_ident();
+      if (is_punct("[")) {  // array declaration: TYPE name[k] [= TYPE[](...)]
+        advance();
+        st->kind = Stmt::DeclArr;
+        if (!is_punct("]")) st->expr = parse_expr();  // declared size
+        expect("]");
+        if (is_punct("=")) {
+          advance();
+          st->elems = parse_array_ctor();
+        }
+        return st;
+      }
       if (is_punct("=")) {
         advance();
         st->expr = parse_expr();
@@ -295,6 +336,37 @@ struct Parser {
       size_t save_i = lex.i;
       Token save_cur = cur;
       advance();
+      if (is_punct("[")) {
+        // element assignment: name[idx](.swz)? (=|+=|...|++|--) ...
+        // (a bare `name[idx];` expression statement has no effect in this
+        //  subset, so an assignment operator is required here)
+        advance();
+        st->index = parse_expr();
+        expect("]");
+        st->kind = Stmt::Assign;
+        st->name = name;
+        if (is_punct(".")) {
+          advance();
+          st->swizzle = expect_ident();
+        }
+        if (is_punct("++") || is_punct("--")) {
+          st->op = cur.text == "++" ? "+=" : "-=";
+          advance();
+          auto one = std::make_unique<Expr>();
+          one->kind = Expr::Num;
+          one->num = 1.0;
+          st->expr = std::move(one);
+          return st;
+        }
+        if (!(cur.kind == Tok::Punct &&
+              (cur.text == "=" || cur.text == "+=" || cur.text == "-=" ||
+               cur.text == "*=" || cur.text == "/=")))
+          fail("expected assignment to array element '" + name + "[...]'");
+        st->op = cur.text;
+        advance();
+        st->expr = parse_expr();
+        return st;
+      }
       std::string swz;
       if (is_punct(".")) {
         advance();
@@ -383,6 +455,27 @@ struct Parser {
     st = parse_simple_stmt();
     expect(";");
     return st;
+  }
+
+  // `TYPE[size?](e0, e1, ...)` — the GLSL array constructor used as an
+  // array initializer.  Returns the element expressions.
+  std::vector<ExprP> parse_array_ctor() {
+    std::string type = expect_ident();
+    if (!is_type(type)) fail("bad array constructor type '" + type + "'");
+    expect("[");
+    if (!is_punct("]")) parse_expr();  // size token: element count wins
+    expect("]");
+    expect("(");
+    std::vector<ExprP> elems;
+    if (!is_punct(")")) {
+      elems.push_back(parse_expr());
+      while (is_punct(",")) {
+        advance();
+        elems.push_back(parse_expr());
+      }
+    }
+    expect(")");
+    return elems;
   }
 
   void parse_block(std::vector<StmtP>& out) {
@@ -475,15 +568,37 @@ struct Parser {
 
   ExprP parse_postfix() {
     ExprP e = parse_primary();
-    while (is_punct(".")) {
-      advance();
-      auto m = std::make_unique<Expr>();
-      m->kind = Expr::Member;
-      m->name = expect_ident();
-      m->args.push_back(std::move(e));
-      e = std::move(m);
+    for (;;) {
+      if (is_punct(".")) {
+        advance();
+        std::string name = expect_ident();
+        if (name == "length" && is_punct("(")) {  // arr.length() / vec.length()
+          advance();
+          expect(")");
+          auto c = std::make_unique<Expr>();
+          c->kind = Expr::Call;
+          c->name = "__length";
+          c->args.push_back(std::move(e));
+          e = std::move(c);
+          continue;
+        }
+        auto m = std::make_unique<Expr>();
+        m->kind = Expr::Member;
+        m->name = name;
+        m->args.push_back(std::move(e));
+        e = std::move(m);
+      } else if (is_punct("[")) {
+        advance();
+        auto ix = std::make_unique<Expr>();
+        ix->kind = Expr::Index;
+        ix->args.push_back(std::move(e));
+        ix->args.push_back(parse_expr());
+        expect("]");
+        e = std::move(ix);
+      } else {
+        return e;
+      }
     }
-    return e;
   }
 
   ExprP parse_primary() {
@@ -542,6 +657,8 @@ struct Interp {
   std::map<std::string, Val> globals;   // uniforms + builtins
   std::map<std::string, Sampler> samplers;
   std::map<std::string, Val> locals;    // per-pixel
+  std::map<std::string, std::vector<Val>> arrays;        // per-pixel locals
+  std::map<std::string, std::vector<Val>> const_arrays;  // top-level consts
   bool returned = false;
   Val ret_val;                          // value of the innermost `return e;`
   int call_depth = 0;                   // user-function recursion guard
@@ -585,6 +702,26 @@ struct Interp {
     auto ig = globals.find(name);
     if (ig != globals.end()) return &ig->second;
     return nullptr;
+  }
+
+  // mutable=true restricts the search to per-pixel locals (const arrays are
+  // not assignable)
+  std::vector<Val>* lookup_arr(const std::string& name, bool mutable_only = false) {
+    auto it = arrays.find(name);
+    if (it != arrays.end()) return &it->second;
+    if (mutable_only) return nullptr;
+    auto ic = const_arrays.find(name);
+    if (ic != const_arrays.end()) return &ic->second;
+    return nullptr;
+  }
+
+  static int index_of(const Val& v, const char* what, int size) {
+    int i = int(v.v[0]);
+    if (i < 0 || i >= size)
+      throw EvalError(std::string("index ") + std::to_string(i) +
+                      " out of range for " + what + " of size " +
+                      std::to_string(size));
+    return i;
   }
 
   static int swizzle_index(char c) {
@@ -633,6 +770,20 @@ struct Interp {
         Val c = eval(*e.args[0]);
         return c.v[0] != 0.f ? eval(*e.args[1]) : eval(*e.args[2]);
       }
+      case Expr::Index: {
+        const Expr& base = *e.args[0];
+        Val iv = eval(*e.args[1]);
+        if (base.kind == Expr::Var) {
+          if (std::vector<Val>* arr = lookup_arr(base.name)) {
+            int i = index_of(iv, ("array '" + base.name + "'").c_str(),
+                             int(arr->size()));
+            return (*arr)[i];
+          }
+        }
+        // dynamic component access on a vec value: v[i]
+        Val b = eval(base);
+        return Val::scalar(b.v[index_of(iv, "vector", b.n)]);
+      }
       case Expr::Call:
         return eval_call(e);
     }
@@ -671,6 +822,13 @@ struct Interp {
     // mirroring GLSL's permission to overload builtins
     auto fit = sh.functions.find(fn);
     if (fit != sh.functions.end()) return call_user(fit->second, e);
+    if (fn == "__length") {  // arr.length() / vec.length()
+      const Expr& base = *e.args[0];
+      if (base.kind == Expr::Var)
+        if (std::vector<Val>* arr = lookup_arr(base.name))
+          return Val::scalar(float(arr->size()));
+      return Val::scalar(float(eval(base).n));
+    }
     // constructors
     if (fn == "float" || fn == "int") return Val::scalar(eval(*e.args[0]).v[0]);
     if (fn == "vec2" || fn == "vec3" || fn == "vec4") {
@@ -788,14 +946,29 @@ struct Interp {
       throw EvalError("call depth exceeded in '" + e.name +
                       "' (recursion is not allowed in GLSL)");
     }
-    // evaluate args in the caller's scope, then run the body in a fresh one
-    std::vector<Val> argv;
-    argv.reserve(e.args.size());
-    for (const auto& a : e.args) argv.push_back(eval(*a));
+    // evaluate args in the caller's scope, then run the body in a fresh one.
+    // A bare variable naming an array passes the array by value (GLSL
+    // array-parameter semantics).
+    std::vector<Val> argv(e.args.size());
+    std::map<std::string, std::vector<Val>> arr_args;
+    for (size_t i = 0; i < e.args.size(); ++i) {
+      const Expr& a = *e.args[i];
+      if (a.kind == Expr::Var) {
+        if (std::vector<Val>* arr = lookup_arr(a.name)) {
+          arr_args[f.param_names[i]] = *arr;
+          continue;
+        }
+      }
+      argv[i] = eval(a);
+    }
     std::map<std::string, Val> saved_locals;
     saved_locals.swap(locals);
+    std::map<std::string, std::vector<Val>> saved_arrays;
+    saved_arrays.swap(arrays);
     bool saved_returned = returned;
-    for (size_t i = 0; i < argv.size(); ++i) locals[f.param_names[i]] = argv[i];
+    for (size_t i = 0; i < argv.size(); ++i)
+      if (!arr_args.count(f.param_names[i])) locals[f.param_names[i]] = argv[i];
+    arrays.swap(arr_args);
     returned = false;
     ret_val = Val{};
     exec(f.body);
@@ -803,6 +976,7 @@ struct Interp {
     if (!returned && f.ret_type != "void")
       throw EvalError("function '" + e.name + "' ended without a return");
     locals.swap(saved_locals);
+    arrays.swap(saved_arrays);
     returned = saved_returned;
     --call_depth;
     return result;
@@ -822,10 +996,84 @@ struct Interp {
         case Stmt::Decl:
           locals[st->name] = st->expr ? eval(*st->expr) : Val{};
           break;
+        case Stmt::DeclArr: {
+          std::vector<Val> vals;
+          vals.reserve(st->elems.size());
+          for (const auto& el : st->elems) vals.push_back(eval(*el));
+          int size = st->expr ? index_of(eval(*st->expr), "array size",
+                                         0x7fffffff)
+                              : int(vals.size());
+          if (!vals.empty() && size != int(vals.size()))
+            throw EvalError("array '" + st->name + "' declares " +
+                            std::to_string(size) + " elements but initializes " +
+                            std::to_string(vals.size()));
+          if (size <= 0 || size > (1 << 16))
+            throw EvalError("array '" + st->name + "' needs a size in [1, 65536]");
+          if (vals.empty()) vals.resize(size);
+          arrays[st->name] = std::move(vals);
+          break;
+        }
         case Stmt::Assign: {
           Val rhs = eval(*st->expr);
+          if (st->index) {  // element target: name[idx](.swz)? op= rhs
+            std::vector<Val>* arr = lookup_arr(st->name, /*mutable_only=*/true);
+            if (!arr) {
+              if (lookup_arr(st->name))
+                throw EvalError("cannot assign to const array '" + st->name + "'");
+              // dynamic component assignment on a vec local: v[i] = x
+              Val* vec = lookup(st->name);
+              if (!vec)
+                throw EvalError("undefined array '" + st->name + "'");
+              if (!st->swizzle.empty())
+                throw EvalError("cannot swizzle a scalar component of '" +
+                                st->name + "'");
+              int ci = index_of(eval(*st->index), "vector", vec->n);
+              float& t = vec->v[ci];
+              float r = rhs.v[0];
+              if (st->op == "=") t = r;
+              else if (st->op == "+=") t += r;
+              else if (st->op == "-=") t -= r;
+              else if (st->op == "*=") t *= r;
+              else t /= r;
+              break;
+            }
+            int i = index_of(eval(*st->index),
+                             ("array '" + st->name + "'").c_str(),
+                             int(arr->size()));
+            Val& el = (*arr)[i];
+            if (st->swizzle.empty()) {
+              if (st->op == "=") {
+                el = rhs;
+              } else {
+                char c = st->op[0];
+                auto f = c == '+' ? +[](float x, float y) { return x + y; }
+                       : c == '-' ? +[](float x, float y) { return x - y; }
+                       : c == '*' ? +[](float x, float y) { return x * y; }
+                                  : +[](float x, float y) { return x / y; };
+                el = broadcast_op(el, rhs, f, st->op.c_str());
+              }
+            } else {
+              for (size_t k = 0; k < st->swizzle.size(); ++k) {
+                int idx = swizzle_index(st->swizzle[k]);
+                if (idx >= el.n)
+                  throw EvalError("swizzle assignment ." + st->swizzle +
+                                  " out of range");
+                float r = rhs.v[rhs.n == 1 ? 0 : int(k)];
+                float& t = el.v[idx];
+                if (st->op == "=") t = r;
+                else if (st->op == "+=") t += r;
+                else if (st->op == "-=") t -= r;
+                else if (st->op == "*=") t *= r;
+                else t /= r;
+              }
+            }
+            break;
+          }
           Val* target = lookup(st->name);
           if (!target) {  // assigning to an undeclared name (e.g. gl_FragColor)
+            if (lookup_arr(st->name))
+              throw EvalError("cannot assign an array '" + st->name +
+                              "' wholesale (assign elements instead)");
             locals[st->name] = Val{};
             target = &locals[st->name];
             target->n = 4;
@@ -921,6 +1169,7 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
 
     Interp in(sh);
     for (const auto& kv : sh.consts) in.globals[kv.first] = kv.second;
+    in.const_arrays = sh.const_arrays;
     // bind samplers by convention (reference main.cpp:126-137 binds
     // u_texture to unit 0 and u_depth to unit 1)
     for (const auto& kv : sh.uniforms) {
@@ -964,6 +1213,7 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
     for (int y = 0; y < rgb.height; ++y) {
       for (int x = 0; x < rgb.width; ++x) {
         in.locals.clear();
+        in.arrays.clear();
         in.returned = false;
         Val uv;
         uv.n = 2;

@@ -10,9 +10,11 @@
 // builtins (floor/step/mix/clamp/smoothstep/...), if/else, for/while loops
 // (capped at 1e6 iterations per pixel — runaway loops error loudly instead
 // of hanging), user-defined helper functions (value returns, by-value
-// params, no recursion — as in GLSL), i++/i--, and assignment to the
-// declared `out vec4` variable.  Unsupported constructs (break/continue,
-// structs, arrays) fail with a parse error naming them.
+// params incl. arrays, no recursion — as in GLSL), i++/i--, arrays
+// (`float k[9] = float[](...)`, element read/assign, `.length()`, dynamic
+// vec component indexing `v[i]`, top-level const arrays), and assignment to
+// the declared `out vec4` variable.  Unsupported constructs
+// (break/continue, structs) fail with a parse error naming them.
 //
 // Semantics notes:
 // - texcoord origin is top-left with v increasing downward, so

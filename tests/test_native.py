@@ -572,3 +572,131 @@ void main() {
     img = rgb.astype(np.float64) / 255.0
     want = np.floor(img * 4) / 4 * [1.0, 0.5, 0.25]
     np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
+
+
+def test_glsl_array_gaussian_blur(io_dir, tmp_path):
+    """Arrays (the last common real-shader construct): a 3x3 Gaussian using a
+    top-level const weight array, a runtime-filled local array, an array
+    function parameter, `.length()`, and dynamic vec indexing — all against a
+    NumPy clamp-to-edge reference (texel-center sampling makes bilinear
+    exact).  Capability match: reference shader_processor/src/shader.cpp:3-62
+    runs arbitrary GLSL through a real GL compiler."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "gauss.frag"
+    frag.write_text("""
+#version 330 core
+uniform sampler2D u_texture;
+uniform vec2 u_resolution;
+in vec2 v_texCoord;
+out vec4 FragColor;
+
+const float kernel[9] = float[](
+    0.0625, 0.125, 0.0625,
+    0.125,  0.25,  0.125,
+    0.0625, 0.125, 0.0625);
+
+vec3 tap_sum(float w[9]) {
+    vec2 px = vec2(1.0, 1.0) / u_resolution;
+    vec3 acc = vec3(0.0);
+    int k = 0;
+    for (int dy = -1; dy <= 1; dy++) {
+        for (int dx = -1; dx <= 1; dx++) {
+            acc += texture(u_texture,
+                           v_texCoord + vec2(float(dx), float(dy)) * px).rgb
+                   * w[k];
+            k++;
+        }
+    }
+    return acc;
+}
+
+void main() {
+    float w[9];
+    for (int i = 0; i < kernel.length(); i++) { w[i] = kernel[i]; }
+    vec3 c = tap_sum(w);
+    vec3 d = vec3(0.0);
+    for (int j = 0; j < 3; j++) { d[j] = c[j]; }  // dynamic vec indexing
+    FragColor = vec4(d, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "g.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "g.png").astype(np.float64) / 255.0
+
+    img = rgb.astype(np.float64) / 255.0
+    h, w = img.shape[:2]
+    kern = np.array([[0.0625, 0.125, 0.0625],
+                     [0.125, 0.25, 0.125],
+                     [0.0625, 0.125, 0.0625]])
+    want = np.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys = np.clip(np.arange(h) + dy, 0, h - 1)
+            xs = np.clip(np.arange(w) + dx, 0, w - 1)
+            want += kern[dy + 1, dx + 1] * img[ys][:, xs]
+    np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
+
+
+def test_glsl_array_element_assignment_and_vec_write(io_dir, tmp_path):
+    """k[i] op= and v[i] = writes, vec-element arrays with swizzled element
+    assignment."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "wr.frag"
+    frag.write_text("""
+in vec2 v_texCoord;
+out vec4 FragColor;
+uniform sampler2D u_texture;
+void main() {
+    float acc[2];
+    acc[0] = 0.25;
+    acc[0] += 0.25;        // 0.5
+    acc[1] = 4.0;
+    acc[1] /= 8.0;         // 0.5
+    vec3 colors[2] = vec3[](vec3(0.0), vec3(1.0));
+    colors[0].r = acc[0];  // swizzled element write
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    vec3 o = vec3(0.0);
+    o[0] = colors[0].r * c.r * 2.0;   // = c.r
+    o[1] = acc[1] * c.g * 2.0;        // = c.g
+    o[2] = colors[1].b * c.b;         // = c.b
+    FragColor = vec4(o, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "wr.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "wr.png"), rgb, atol=1)
+
+
+@pytest.mark.parametrize("body,needle", [
+    ("float k[3] = float[](1.0, 2.0, 3.0); FragColor = vec4(k[5]);",
+     "out of range"),
+    ("float k[2] = float[](1.0, 2.0, 3.0); FragColor = vec4(k[0]);",
+     "declares 2 elements but initializes 3"),
+    ("float k[100000000]; FragColor = vec4(0.0);", "[1, 65536]"),
+])
+def test_glsl_array_errors_are_loud(io_dir, tmp_path, body, needle):
+    td, _, _ = io_dir
+    frag = tmp_path / "bad.frag"
+    frag.write_text("in vec2 v_texCoord;\nout vec4 FragColor;\n"
+                    "void main() { %s }\n" % body)
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "bad.png")])
+    assert r.returncode != 0
+    assert needle in r.stderr
+
+
+def test_glsl_const_array_assignment_rejected(io_dir, tmp_path):
+    td, _, _ = io_dir
+    frag = tmp_path / "ca.frag"
+    frag.write_text("""
+in vec2 v_texCoord;
+out vec4 FragColor;
+const float k[2] = float[](1.0, 2.0);
+void main() { k[0] = 3.0; FragColor = vec4(k[0]); }
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "ca.png")])
+    assert r.returncode != 0
+    assert "const array" in r.stderr
