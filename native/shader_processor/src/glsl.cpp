@@ -54,13 +54,59 @@ struct Token {
 struct Lexer {
   const std::string& s;
   size_t i = 0;
+  // object-like `#define NAME tokens` macros: substituted at the token level
+  std::map<std::string, std::string>* defines = nullptr;
+
   explicit Lexer(const std::string& src) : s(src) {}
+
+  void handle_directive() {
+    // at '#': parse the directive name
+    size_t line_end = s.find('\n', i);
+    std::string line = s.substr(i, line_end == std::string::npos
+                                       ? std::string::npos
+                                       : line_end - i);
+    size_t j = 1;
+    while (j < line.size() && std::isspace((unsigned char)line[j])) ++j;
+    size_t k = j;
+    while (k < line.size() &&
+           (std::isalnum((unsigned char)line[k]) || line[k] == '_')) ++k;
+    std::string dir = line.substr(j, k - j);
+    if (dir == "define" && defines) {
+      // #define NAME value-tokens   (function-like macros are rejected)
+      size_t p = k;
+      while (p < line.size() && std::isspace((unsigned char)line[p])) ++p;
+      size_t q = p;
+      while (q < line.size() &&
+             (std::isalnum((unsigned char)line[q]) || line[q] == '_')) ++q;
+      std::string name = line.substr(p, q - p);
+      if (name.empty())
+        throw EvalError("glsl: malformed #define");
+      if (q < line.size() && line[q] == '(')
+        throw EvalError("glsl: function-like macro '#define " + name +
+                        "(...)' is not supported (use a helper function)");
+      while (q < line.size() && std::isspace((unsigned char)line[q])) ++q;
+      size_t e = line.size();
+      size_t cm = line.find("//", q);
+      if (cm != std::string::npos) e = cm;
+      while (e > q && std::isspace((unsigned char)line[e - 1])) --e;
+      (*defines)[name] = line.substr(q, e - q);
+    } else if (dir == "if" || dir == "ifdef" || dir == "ifndef" ||
+               dir == "elif" || dir == "else" || dir == "endif" ||
+               dir == "undef") {
+      // conditional compilation would silently change which code runs —
+      // error loudly rather than mis-execute the shader
+      throw EvalError("glsl: preprocessor conditional '#" + dir +
+                      "' is not supported");
+    }
+    // #version / #extension / #pragma / #line: ignored
+    i = (line_end == std::string::npos) ? s.size() : line_end;
+  }
 
   void skip_ws() {
     for (;;) {
       while (i < s.size() && std::isspace((unsigned char)s[i])) ++i;
-      if (i < s.size() && s[i] == '#') {  // preprocessor line (e.g. #version)
-        while (i < s.size() && s[i] != '\n') ++i;
+      if (i < s.size() && s[i] == '#') {  // preprocessor line
+        handle_directive();
         continue;
       }
       if (i + 1 < s.size() && s[i] == '/' && s[i + 1] == '/') {
@@ -77,7 +123,39 @@ struct Lexer {
     }
   }
 
+  std::vector<Token> pending;  // queued macro-expansion tokens
+
   Token next() {
+    if (!pending.empty()) {
+      Token t = std::move(pending.back());
+      pending.pop_back();
+      return t;
+    }
+    Token t = raw_next();
+    if (t.kind == Tok::Ident && defines && defines->count(t.text)) {
+      std::vector<Token> toks;
+      expand_into(t.text, toks, 0);
+      if (toks.empty()) return next();  // macro with an empty body
+      for (size_t k = toks.size(); k-- > 1;) pending.push_back(std::move(toks[k]));
+      return toks[0];
+    }
+    return t;
+  }
+
+  void expand_into(const std::string& name, std::vector<Token>& out, int depth) {
+    if (depth > 16)
+      throw EvalError("glsl: macro expansion too deep (recursive #define '" +
+                      name + "'?)");
+    Lexer sub(defines->at(name));  // raw body tokens (sub has no defines)
+    for (Token x = sub.raw_next(); x.kind != Tok::End; x = sub.raw_next()) {
+      if (x.kind == Tok::Ident && defines->count(x.text))
+        expand_into(x.text, out, depth + 1);
+      else
+        out.push_back(std::move(x));
+    }
+  }
+
+  Token raw_next() {
     skip_ws();
     if (i >= s.size()) return {};
     char c = s[i];
@@ -175,7 +253,11 @@ struct Shader {
 struct Parser {
   Lexer lex;
   Token cur;
-  explicit Parser(const std::string& src) : lex(src) { cur = lex.next(); }
+  std::map<std::string, std::string> defines;  // #define NAME tokens
+  explicit Parser(const std::string& src) : lex(src) {
+    lex.defines = &defines;
+    cur = lex.next();
+  }
 
   [[noreturn]] void fail(const std::string& msg) {
     throw EvalError("glsl parse error: " + msg + " (near '" + cur.text + "')");
@@ -334,6 +416,7 @@ struct Parser {
     if (cur.kind == Tok::Ident) {
       std::string name = cur.text;
       size_t save_i = lex.i;
+      std::vector<Token> save_pending = lex.pending;
       Token save_cur = cur;
       advance();
       if (is_punct("[")) {
@@ -396,6 +479,7 @@ struct Parser {
         return st;
       }
       lex.i = save_i;
+      lex.pending = save_pending;
       cur = save_cur;
     }
     st->kind = Stmt::ExprStmt;

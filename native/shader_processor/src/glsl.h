@@ -12,9 +12,11 @@
 // of hanging), user-defined helper functions (value returns, by-value
 // params incl. arrays, no recursion — as in GLSL), i++/i--, arrays
 // (`float k[9] = float[](...)`, element read/assign, `.length()`, dynamic
-// vec component indexing `v[i]`, top-level const arrays), and assignment to
-// the declared `out vec4` variable.  Unsupported constructs
-// (break/continue, structs) fail with a parse error naming them.
+// vec component indexing `v[i]`, top-level const arrays), object-like
+// `#define NAME value` macros (token substitution; `#version` et al are
+// ignored), and assignment to the declared `out vec4` variable.
+// Unsupported constructs (break/continue, structs, function-like macros,
+// `#if` conditionals) fail with a parse error naming them.
 //
 // Semantics notes:
 // - texcoord origin is top-left with v increasing downward, so

@@ -700,3 +700,47 @@ void main() { k[0] = 3.0; FragColor = vec4(k[0]); }
               "--output", str(td / "ca.png")])
     assert r.returncode != 0
     assert "const array" in r.stderr
+
+
+def test_glsl_define_macros(io_dir, tmp_path):
+    """Object-like #define macros with nested expansion (token substitution).
+    Previously all `#` lines were silently skipped, so a shader using
+    `#define N 9` failed with a confusing 'undefined variable N'."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "def.frag"
+    frag.write_text("""
+#version 330 core
+#define LEVELS 4.0
+#define INV_LEVELS (1.0 / LEVELS)
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    FragColor = vec4(floor(c * LEVELS) * INV_LEVELS, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "d.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "d.png").astype(np.float64) / 255.0
+    want = np.floor(rgb.astype(np.float64) / 255.0 * 4) / 4
+    np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
+
+
+@pytest.mark.parametrize("src,needle", [
+    ("#define SQ(x) ((x)*(x))\nvoid main() { gl_FragColor = vec4(SQ(0.5)); }",
+     "function-like macro"),
+    ("#define ON 1\n#if ON\nvoid main() { gl_FragColor = vec4(1.0); }\n#endif",
+     "conditional '#if'"),
+    ("#define A B\n#define B A\nvoid main() { gl_FragColor = vec4(A); }",
+     "macro expansion too deep"),
+])
+def test_glsl_preprocessor_errors_are_loud(io_dir, tmp_path, src, needle):
+    td, _, _ = io_dir
+    frag = tmp_path / "pp.frag"
+    frag.write_text(src)
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "pp.png")])
+    assert r.returncode != 0
+    assert needle in r.stderr
