@@ -17,7 +17,16 @@ namespace {
 struct Val {
   int n = 1;                     // component count 1..4
   float v[4] = {0, 0, 0, 0};
+  // GLSL int/float distinction, carried so int arithmetic truncates the way
+  // a real GLSL compiler's does (3 / 2 == 1, not 1.5).  Everything except
+  // int literals, int() casts, and int-int {+,-,*,/,%} is float.
+  bool is_int = false;
   static Val scalar(float x) { return Val{1, {x, 0, 0, 0}}; }
+  static Val iscalar(int x) {
+    Val s = scalar(float(x));
+    s.is_int = true;
+    return s;
+  }
 };
 
 struct EvalError : std::runtime_error {
@@ -37,8 +46,44 @@ Val broadcast_op(const Val& a, const Val& b, float (*f)(float, float),
 
 Val map1(const Val& a, float (*f)(float)) {
   Val out = a;
+  out.is_int = false;
   for (int i = 0; i < a.n; ++i) out.v[i] = f(a.v[i]);
   return out;
+}
+
+// {+,-,*,/,%} with GLSL's int semantics: int op int stays int, and int
+// division/modulo truncate.  Mixed operands promote to float (GLSL proper
+// would reject the mix; this subset is forgiving there, as elsewhere).
+Val arith(const Val& a, const Val& b, const std::string& op) {
+  if (a.is_int && b.is_int) {
+    if (a.n != b.n && a.n != 1 && b.n != 1)
+      throw EvalError("size mismatch in '" + op + "'");
+    Val out;
+    out.n = std::max(a.n, b.n);
+    out.is_int = true;
+    for (int i = 0; i < out.n; ++i) {
+      long x = long(a.v[a.n == 1 ? 0 : i]);
+      long y = long(b.v[b.n == 1 ? 0 : i]);
+      long r;
+      if (op == "+") r = x + y;
+      else if (op == "-") r = x - y;
+      else if (op == "*") r = x * y;
+      else {
+        if (y == 0)
+          throw EvalError("integer " + std::string(op == "%" ? "modulo" : "division") +
+                          " by zero");
+        r = op == "/" ? x / y : x % y;
+      }
+      out.v[i] = float(r);
+    }
+    return out;
+  }
+  if (op == "%")
+    throw EvalError("'%' requires integer operands (use mod() for floats)");
+  if (op == "+") return broadcast_op(a, b, [](float x, float y) { return x + y; }, "+");
+  if (op == "-") return broadcast_op(a, b, [](float x, float y) { return x - y; }, "-");
+  if (op == "*") return broadcast_op(a, b, [](float x, float y) { return x * y; }, "*");
+  return broadcast_op(a, b, [](float x, float y) { return x / y; }, "/");
 }
 
 // ------------------------------------------------------------------ lexer
@@ -204,6 +249,7 @@ using ExprP = std::unique_ptr<Expr>;
 struct Expr {
   enum Kind { Num, Var, Call, Member, Binary, Unary, Ternary, Index } kind;
   double num = 0;                  // Num
+  bool is_int = false;             // Num: integer literal (no '.', exp, 'f')
   std::string name;                // Var, Call (fn name), Member (swizzle), Binary/Unary (op)
   std::vector<ExprP> args;         // Call args; Member base; Binary l,r; Unary e;
                                    // Ternary c,a,b; Index base,idx
@@ -394,6 +440,7 @@ struct Parser {
     if (is_ident("const")) advance();  // const-ness is not enforced
     if (cur.kind == Tok::Ident && is_type(cur.text)) {
       st->kind = Stmt::Decl;
+      st->op = cur.text;  // declared type: "int" coerces the initializer
       advance();
       st->name = expect_ident();
       if (is_punct("[")) {  // array declaration: TYPE name[k] [= TYPE[](...)]
@@ -438,6 +485,7 @@ struct Parser {
           auto one = std::make_unique<Expr>();
           one->kind = Expr::Num;
           one->num = 1.0;
+          one->is_int = true;  // i++ keeps an int counter int
           st->expr = std::move(one);
           return st;
         }
@@ -634,7 +682,7 @@ struct Parser {
     return binary(ops, &Parser::parse_mul);
   }
   ExprP parse_mul() {
-    static const char* ops[] = {"*", "/", nullptr};
+    static const char* ops[] = {"*", "/", "%", nullptr};
     return binary(ops, &Parser::parse_unary);
   }
 
@@ -690,6 +738,7 @@ struct Parser {
       auto e = std::make_unique<Expr>();
       e->kind = Expr::Num;
       e->num = cur.num;
+      e->is_int = cur.text.find_first_of(".eEfF") == std::string::npos;
       advance();
       return e;
     }
@@ -820,8 +869,11 @@ struct Interp {
 
   Val eval(const Expr& e) {
     switch (e.kind) {
-      case Expr::Num:
-        return Val::scalar(float(e.num));
+      case Expr::Num: {
+        Val s = Val::scalar(float(e.num));
+        s.is_int = e.is_int;
+        return s;
+      }
       case Expr::Var: {
         Val* v = lookup(e.name);
         if (!v) {
@@ -845,7 +897,11 @@ struct Interp {
       }
       case Expr::Unary: {
         Val a = eval(*e.args[0]);
-        if (e.name == "-") return map1(a, [](float x) { return -x; });
+        if (e.name == "-") {
+          Val out = map1(a, [](float x) { return -x; });
+          out.is_int = a.is_int;  // -i is still an int
+          return out;
+        }
         return map1(a, [](float x) { return x == 0.f ? 1.f : 0.f; });  // !
       }
       case Expr::Binary:
@@ -887,10 +943,8 @@ struct Interp {
       return Val::scalar(eval(*e.args[1]).v[0] != 0.f ? 1.f : 0.f);
     }
     Val a = eval(*e.args[0]), b = eval(*e.args[1]);
-    if (op == "+") return broadcast_op(a, b, [](float x, float y) { return x + y; }, "+");
-    if (op == "-") return broadcast_op(a, b, [](float x, float y) { return x - y; }, "-");
-    if (op == "*") return broadcast_op(a, b, [](float x, float y) { return x * y; }, "*");
-    if (op == "/") return broadcast_op(a, b, [](float x, float y) { return x / y; }, "/");
+    if (op == "+" || op == "-" || op == "*" || op == "/" || op == "%")
+      return arith(a, b, op);
     if (op == "<") return Val::scalar(a.v[0] < b.v[0] ? 1.f : 0.f);
     if (op == ">") return Val::scalar(a.v[0] > b.v[0] ? 1.f : 0.f);
     if (op == "<=") return Val::scalar(a.v[0] <= b.v[0] ? 1.f : 0.f);
@@ -910,11 +964,12 @@ struct Interp {
       const Expr& base = *e.args[0];
       if (base.kind == Expr::Var)
         if (std::vector<Val>* arr = lookup_arr(base.name))
-          return Val::scalar(float(arr->size()));
-      return Val::scalar(float(eval(base).n));
+          return Val::iscalar(int(arr->size()));
+      return Val::iscalar(eval(base).n);
     }
     // constructors
-    if (fn == "float" || fn == "int") return Val::scalar(eval(*e.args[0]).v[0]);
+    if (fn == "float") return Val::scalar(eval(*e.args[0]).v[0]);
+    if (fn == "int") return Val::iscalar(int(eval(*e.args[0]).v[0]));
     if (fn == "vec2" || fn == "vec3" || fn == "vec4") {
       int n = fn[3] - '0';
       Val out;
@@ -1077,9 +1132,17 @@ struct Interp {
     const Stmt* st = &stmt;
     {
       switch (st->kind) {
-        case Stmt::Decl:
-          locals[st->name] = st->expr ? eval(*st->expr) : Val{};
+        case Stmt::Decl: {
+          Val v = st->expr ? eval(*st->expr) : Val{};
+          if (st->op == "int") {  // declared type coerces (GLSL: int i = ...)
+            for (int k = 0; k < v.n; ++k) v.v[k] = float(long(v.v[k]));
+            v.is_int = true;
+          } else if (!st->op.empty()) {
+            v.is_int = false;
+          }
+          locals[st->name] = v;
           break;
+        }
         case Stmt::DeclArr: {
           std::vector<Val> vals;
           vals.reserve(st->elems.size());
@@ -1129,12 +1192,7 @@ struct Interp {
               if (st->op == "=") {
                 el = rhs;
               } else {
-                char c = st->op[0];
-                auto f = c == '+' ? +[](float x, float y) { return x + y; }
-                       : c == '-' ? +[](float x, float y) { return x - y; }
-                       : c == '*' ? +[](float x, float y) { return x * y; }
-                                  : +[](float x, float y) { return x / y; };
-                el = broadcast_op(el, rhs, f, st->op.c_str());
+                el = arith(el, rhs, std::string(1, st->op[0]));
               }
             } else {
               for (size_t k = 0; k < st->swizzle.size(); ++k) {
@@ -1166,12 +1224,7 @@ struct Interp {
             if (st->op == "=") {
               *target = rhs;
             } else {
-              char c = st->op[0];
-              auto f = c == '+' ? +[](float x, float y) { return x + y; }
-                     : c == '-' ? +[](float x, float y) { return x - y; }
-                     : c == '*' ? +[](float x, float y) { return x * y; }
-                                : +[](float x, float y) { return x / y; };
-              *target = broadcast_op(*target, rhs, f, st->op.c_str());
+              *target = arith(*target, rhs, std::string(1, st->op[0]));
             }
           } else {
             for (size_t i = 0; i < st->swizzle.size(); ++i) {

@@ -16,7 +16,10 @@
 // `#define NAME value` macros (token substitution; `#version` et al are
 // ignored), and assignment to the declared `out vec4` variable.
 // Unsupported constructs (break/continue, structs, function-like macros,
-// `#if` conditionals) fail with a parse error naming them.
+// `#if` conditionals) fail with a parse error naming them.  Int literals,
+// int() casts, and `int`-declared variables carry GLSL int semantics:
+// int-int {+,-,*,/,%} stays int with truncating / and %, everything mixed
+// promotes to float (real GLSL would reject the mix; this subset forgives).
 //
 // Semantics notes:
 // - texcoord origin is top-left with v increasing downward, so

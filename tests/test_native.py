@@ -744,3 +744,52 @@ def test_glsl_preprocessor_errors_are_loud(io_dir, tmp_path, src, needle):
               "--output", str(td / "pp.png")])
     assert r.returncode != 0
     assert needle in r.stderr
+
+
+def test_glsl_int_semantics(io_dir, tmp_path):
+    """GLSL int arithmetic: int/int truncates (KERNEL_SIZE/2 == 2, not 2.5),
+    % works on ints, mixed int/float promotes.  Previously every numeric was
+    a float, so integer shader math silently computed wrong values."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "ints.frag"
+    frag.write_text("""
+#define KERNEL_SIZE 5
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    int half_k = KERNEL_SIZE / 2;            // 2 (int division)
+    float b = float(7 % 4);                  // 3.0
+    float c = float(-7 / 2);                 // -3.0 (trunc toward zero)
+    float d = 3.0 / 2.0;                     // 1.5 (float stays float)
+    float e = float(3) / 2.0;                // 1.5 (mixed promotes)
+    int i = 0;
+    i += 3;
+    int j = i / 2;                           // 1
+    vec3 px = texture(u_texture, v_texCoord).rgb;
+    float ok = step(abs(float(half_k) - 2.0) + abs(b - 3.0) + abs(c + 3.0)
+                    + abs(d - 1.5) + abs(e - 1.5) + abs(float(j) - 1.0),
+                    0.001);
+    FragColor = vec4(px * ok, 1.0);  // identity iff every identity held
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "i.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "i.png"), rgb, atol=1)
+
+
+@pytest.mark.parametrize("body,needle", [
+    ("FragColor = vec4(3.5 % 2.0);", "requires integer operands"),
+    ("FragColor = vec4(float(3 / 0));", "integer division by zero"),
+    ("FragColor = vec4(float(3 % 0));", "integer modulo by zero"),
+])
+def test_glsl_int_errors_are_loud(io_dir, tmp_path, body, needle):
+    td, _, _ = io_dir
+    frag = tmp_path / "ie.frag"
+    frag.write_text("in vec2 v_texCoord;\nout vec4 FragColor;\n"
+                    "void main() { %s }\n" % body)
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "ie.png")])
+    assert r.returncode != 0
+    assert needle in r.stderr
