@@ -1357,6 +1357,15 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
         uv.v[0] = (x + 0.5f) / rgb.width;
         uv.v[1] = (y + 0.5f) / rgb.height;
         in.globals[tc] = uv;
+        // gl_FragCoord: pixel-center coordinates, same top-left orientation
+        // as the texcoord (scanline/CRT shaders key off .y parity)
+        Val fc;
+        fc.n = 4;
+        fc.v[0] = x + 0.5f;
+        fc.v[1] = y + 0.5f;
+        fc.v[2] = 0.f;
+        fc.v[3] = 1.f;
+        in.globals["gl_FragCoord"] = fc;
         in.exec(sh.body);
         Val* frag = in.lookup(sh.out_name);
         Val color = frag ? *frag : Val{};

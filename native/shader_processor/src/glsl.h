@@ -24,7 +24,8 @@
 // Semantics notes:
 // - texcoord origin is top-left with v increasing downward, so
 //   `coord + vec2(0, eps)` samples BELOW — matching the reference toon
-//   shader's depth_bottom naming.
+//   shader's depth_bottom naming.  `gl_FragCoord` is bound per pixel with
+//   the same orientation: (x+0.5, y+0.5, 0, 1) with y=0 the top row.
 // - a declared `uniform vec2 u_resolution` with no initializer is auto-bound
 //   to (width, height); scalar uniforms can be set via --param (name with or
 //   without the `u_` prefix).

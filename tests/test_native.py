@@ -793,3 +793,27 @@ def test_glsl_int_errors_are_loud(io_dir, tmp_path, body, needle):
               "--output", str(td / "ie.png")])
     assert r.returncode != 0
     assert needle in r.stderr
+
+
+def test_glsl_fragcoord_scanlines(io_dir, tmp_path):
+    """gl_FragCoord is bound per pixel (top-left orientation, pixel centers):
+    a scanline shader keyed on .y parity must darken exactly the odd rows."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "scan.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    float dark = mod(gl_FragCoord.y, 2.0) < 1.0 ? 1.0 : 0.5;
+    FragColor = vec4(c * dark, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "s.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "s.png").astype(np.float64)
+    img = rgb.astype(np.float64)
+    assert np.abs(out[0::2] - img[0::2]).max() <= 1      # even rows untouched
+    assert np.abs(out[1::2] - img[1::2] * 0.5).max() <= 1  # odd rows halved
