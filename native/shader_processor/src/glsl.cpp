@@ -15,12 +15,14 @@ namespace {
 // ----------------------------------------------------------------- values
 
 struct Val {
-  int n = 1;                     // component count 1..4
-  float v[4] = {0, 0, 0, 0};
+  int n = 1;                     // component count: 1..4 (scalar/vec),
+                                 // rows (== cols) when mat > 0
+  float v[16] = {0};             // matrices stored column-major, GLSL-style
   // GLSL int/float distinction, carried so int arithmetic truncates the way
   // a real GLSL compiler's does (3 / 2 == 1, not 1.5).  Everything except
   // int literals, int() casts, and int-int {+,-,*,/,%} is float.
   bool is_int = false;
+  int mat = 0;                   // 0 = scalar/vec; N = NxN matrix
   static Val scalar(float x) { return Val{1, {x, 0, 0, 0}}; }
   static Val iscalar(int x) {
     Val s = scalar(float(x));
@@ -35,6 +37,8 @@ struct EvalError : std::runtime_error {
 
 Val broadcast_op(const Val& a, const Val& b, float (*f)(float, float),
                  const char* op) {
+  if (a.mat || b.mat)
+    throw EvalError(std::string("'") + op + "' does not accept a matrix here");
   if (a.n != b.n && a.n != 1 && b.n != 1)
     throw EvalError(std::string("size mismatch in '") + op + "'");
   Val out;
@@ -45,16 +49,85 @@ Val broadcast_op(const Val& a, const Val& b, float (*f)(float, float),
 }
 
 Val map1(const Val& a, float (*f)(float)) {
+  if (a.mat) throw EvalError("componentwise builtins do not accept matrices");
   Val out = a;
   out.is_int = false;
   for (int i = 0; i < a.n; ++i) out.v[i] = f(a.v[i]);
   return out;
 }
 
+// matrix arithmetic: linear-algebra '*' (mat*mat, mat*vec, vec*mat),
+// componentwise +/- between same-size matrices, and scalar scaling
+Val mat_arith(const Val& a, const Val& b, const std::string& op) {
+  auto comp = [&](const Val& m, const Val& s, bool s_left) {
+    Val out = m;
+    out.is_int = false;
+    for (int i = 0; i < m.mat * m.mat; ++i) {
+      float x = s_left ? s.v[0] : m.v[i], y = s_left ? m.v[i] : s.v[0];
+      out.v[i] = op == "+" ? x + y : op == "-" ? x - y
+               : op == "*" ? x * y : x / y;
+    }
+    return out;
+  };
+  if (op == "*") {
+    if (a.mat && b.mat) {  // mat * mat
+      if (a.mat != b.mat) throw EvalError("mat size mismatch in '*'");
+      int N = a.mat;
+      Val out = a;
+      out.is_int = false;
+      for (int c = 0; c < N; ++c)
+        for (int r = 0; r < N; ++r) {
+          float s = 0;
+          for (int k = 0; k < N; ++k) s += a.v[k * N + r] * b.v[c * N + k];
+          out.v[c * N + r] = s;
+        }
+      return out;
+    }
+    if (a.mat && b.n == a.mat && !b.is_int) {  // mat * column-vec
+      int N = a.mat;
+      Val out;
+      out.n = N;
+      for (int r = 0; r < N; ++r) {
+        float s = 0;
+        for (int c = 0; c < N; ++c) s += a.v[c * N + r] * b.v[c];
+        out.v[r] = s;
+      }
+      return out;
+    }
+    if (b.mat && a.n == b.mat && !a.is_int) {  // row-vec * mat
+      int N = b.mat;
+      Val out;
+      out.n = N;
+      for (int c = 0; c < N; ++c) {
+        float s = 0;
+        for (int r = 0; r < N; ++r) s += a.v[r] * b.v[c * N + r];
+        out.v[c] = s;
+      }
+      return out;
+    }
+    if (a.mat && b.n == 1) return comp(a, b, false);  // mat * scalar
+    if (b.mat && a.n == 1) return comp(b, a, true);   // scalar * mat
+    throw EvalError("invalid matrix '*' operand sizes");
+  }
+  if (op == "+" || op == "-") {
+    if (a.mat && b.mat && a.mat == b.mat) {
+      Val out = a;
+      out.is_int = false;
+      for (int i = 0; i < a.mat * a.mat; ++i)
+        out.v[i] = op == "+" ? a.v[i] + b.v[i] : a.v[i] - b.v[i];
+      return out;
+    }
+    throw EvalError("matrix '" + op + "' needs two equal-size matrices");
+  }
+  if (op == "/" && a.mat && b.n == 1 && !b.mat) return comp(a, b, false);
+  throw EvalError("unsupported matrix operation '" + op + "'");
+}
+
 // {+,-,*,/,%} with GLSL's int semantics: int op int stays int, and int
 // division/modulo truncate.  Mixed operands promote to float (GLSL proper
 // would reject the mix; this subset is forgiving there, as elsewhere).
 Val arith(const Val& a, const Val& b, const std::string& op) {
+  if (a.mat || b.mat) return mat_arith(a, b, op);
   if (a.is_int && b.is_int) {
     if (a.n != b.n && a.n != 1 && b.n != 1)
       throw EvalError("size mismatch in '" + op + "'");
@@ -324,7 +397,8 @@ struct Parser {
 
   static bool is_type(const std::string& t) {
     return t == "float" || t == "int" || t == "bool" || t == "vec2" ||
-           t == "vec3" || t == "vec4" || t == "sampler2D";
+           t == "vec3" || t == "vec4" || t == "mat2" || t == "mat3" ||
+           t == "mat4" || t == "sampler2D";
   }
 
   Shader parse() {
@@ -885,6 +959,8 @@ struct Interp {
       }
       case Expr::Member: {
         Val base = eval(*e.args[0]);
+        if (base.mat)
+          throw EvalError("cannot swizzle a matrix (index columns with [i])");
         Val out;
         out.n = int(e.name.size());
         if (out.n > 4) throw EvalError("swizzle too long: ." + e.name);
@@ -920,8 +996,15 @@ struct Interp {
             return (*arr)[i];
           }
         }
-        // dynamic component access on a vec value: v[i]
         Val b = eval(base);
+        if (b.mat) {  // m[i]: i-th column as a vec
+          int c = index_of(iv, "matrix", b.mat);
+          Val out;
+          out.n = b.mat;
+          for (int r = 0; r < b.mat; ++r) out.v[r] = b.v[c * b.mat + r];
+          return out;
+        }
+        // dynamic component access on a vec value: v[i]
         return Val::scalar(b.v[index_of(iv, "vector", b.n)]);
       }
       case Expr::Call:
@@ -985,9 +1068,44 @@ struct Interp {
       int k = 0;
       for (const auto& arg : e.args) {
         Val a = eval(*arg);
+        if (a.mat) throw EvalError(fn + " constructor takes scalars/vectors");
         for (int i = 0; i < a.n && k < n; ++i) out.v[k++] = a.v[i];
       }
       if (k != n) throw EvalError(fn + " constructor arity mismatch");
+      return out;
+    }
+    if (fn == "mat2" || fn == "mat3" || fn == "mat4") {
+      int N = fn[3] - '0';
+      Val out;
+      out.mat = N;
+      out.n = N;
+      if (e.args.size() == 1) {
+        Val a = eval(*e.args[0]);
+        if (a.n == 1 && !a.mat) {        // diagonal constructor
+          for (int i = 0; i < N; ++i) out.v[i * N + i] = a.v[0];
+          return out;
+        }
+        if (a.mat == N) return a;        // copy
+        throw EvalError(fn + "(...) single argument must be a scalar or " + fn);
+      }
+      int k = 0;
+      for (const auto& argp : e.args) {  // column-major fill from scalars/vecs
+        Val a = eval(*argp);
+        if (a.mat) throw EvalError(fn + " constructor takes scalars/vectors");
+        for (int i = 0; i < a.n && k < N * N; ++i) out.v[k++] = a.v[i];
+      }
+      if (k != N * N)
+        throw EvalError(fn + " constructor needs " + std::to_string(N * N) +
+                        " components, got " + std::to_string(k));
+      return out;
+    }
+    if (fn == "transpose") {
+      if (e.args.empty()) throw EvalError("transpose: missing argument");
+      Val a = eval(*e.args[0]);
+      if (!a.mat) throw EvalError("transpose() needs a matrix");
+      Val out = a;
+      for (int c = 0; c < a.mat; ++c)
+        for (int r = 0; r < a.mat; ++r) out.v[r * a.mat + c] = a.v[c * a.mat + r];
       return out;
     }
     if (fn == "texture" || fn == "texture2D") {
@@ -1171,6 +1289,19 @@ struct Interp {
               Val* vec = lookup(st->name);
               if (!vec)
                 throw EvalError("undefined array '" + st->name + "'");
+              if (vec->mat) {  // m[i] = vec: column write
+                if (!st->swizzle.empty())
+                  throw EvalError("cannot swizzle a matrix column write");
+                int c = index_of(eval(*st->index), "matrix", vec->mat);
+                if (st->op != "=")
+                  throw EvalError("only '=' is supported for matrix columns");
+                if (rhs.mat || rhs.n != vec->mat)
+                  throw EvalError("matrix column needs a vec" +
+                                  std::to_string(vec->mat) + " value");
+                for (int r = 0; r < vec->mat; ++r)
+                  vec->v[c * vec->mat + r] = rhs.v[r];
+                break;
+              }
               if (!st->swizzle.empty())
                 throw EvalError("cannot swizzle a scalar component of '" +
                                 st->name + "'");

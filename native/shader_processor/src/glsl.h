@@ -5,7 +5,8 @@
 // shader_processor/src/shader.cpp:3-62, main.cpp:126-148).  This environment
 // is headless, so the equivalent capability is a small interpreter for the
 // single-texture fragment pattern those shaders use: GLSL 330 with uniforms
-// (incl. default initializers), vec2/3/4 arithmetic, swizzles, texture()
+// (incl. default initializers), vec2/3/4 and mat2/3/4 arithmetic (mat*vec,
+// vec*mat, mat*mat, transpose(), m[i] column access), swizzles, texture()
 // sampling of u_texture/u_depth (bilinear, clamp-to-edge), the common
 // builtins (floor/step/mix/clamp/smoothstep/...), if/else, for/while loops
 // (capped at 1e6 iterations per pixel — runaway loops error loudly instead

@@ -817,3 +817,61 @@ void main() {
     img = rgb.astype(np.float64)
     assert np.abs(out[0::2] - img[0::2]).max() <= 1      # even rows untouched
     assert np.abs(out[1::2] - img[1::2] * 0.5).max() <= 1  # odd rows halved
+
+
+def test_glsl_mat3_color_matrix(io_dir, tmp_path):
+    """mat2/3/4 support: a sepia color matrix as mat3 * vec3 (column-major
+    constructor), mat*mat, transpose()/vec*mat agreement, and m[i] column
+    access — against the NumPy matrix product."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "mat.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+
+const mat3 SEPIA = mat3(
+    0.393, 0.349, 0.272,
+    0.769, 0.686, 0.534,
+    0.189, 0.168, 0.131);
+
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    mat3 m = SEPIA * mat3(1.0);          // mat*mat with identity
+    vec3 s = m * c;                      // mat*vec
+    vec3 srow = c * transpose(m);        // vec*mat of the transpose == m*c
+    vec3 col0 = m[0];                    // (0.393, 0.349, 0.272)
+    float probe = step(abs(col0.y - 0.349) + length(s - srow), 0.001);
+    FragColor = vec4(clamp(s, 0.0, 1.0) * probe, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "m.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "m.png").astype(np.float64) / 255.0
+    img = rgb.astype(np.float64) / 255.0
+    M = np.array([[0.393, 0.769, 0.189],
+                  [0.349, 0.686, 0.168],
+                  [0.272, 0.534, 0.131]])
+    want = np.clip(img @ M.T, 0, 1)
+    np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
+
+
+@pytest.mark.parametrize("body,needle", [
+    ("mat3 m = mat3(1.0); FragColor = vec4(m.x);", "cannot swizzle a matrix"),
+    ("mat3 m = mat3(1.0); FragColor = vec4(abs(m)[0], 1.0);",
+     "do not accept matrices"),
+    ("FragColor = vec4((mat2(1.0) * mat3(1.0))[0], 0.0, 1.0);",
+     "mat size mismatch"),
+    ("mat3 m = mat3(1.0, 2.0); FragColor = vec4(m[0], 1.0);",
+     "needs 9 components"),
+])
+def test_glsl_matrix_errors_are_loud(io_dir, tmp_path, body, needle):
+    td, _, _ = io_dir
+    frag = tmp_path / "me.frag"
+    frag.write_text("in vec2 v_texCoord;\nout vec4 FragColor;\n"
+                    "void main() { %s }\n" % body)
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "me.png")])
+    assert r.returncode != 0
+    assert needle in r.stderr
