@@ -332,7 +332,8 @@ struct Stmt;
 using StmtP = std::unique_ptr<Stmt>;
 
 struct Stmt {
-  enum Kind { Decl, DeclArr, Assign, If, Return, ExprStmt, For, While } kind;
+  enum Kind { Decl, DeclArr, Assign, If, Return, ExprStmt, For, While,
+              Break, Continue } kind;
   std::string name;      // Decl/DeclArr/Assign target
   std::string swizzle;   // Assign: non-empty for `x.rgb = ...` / `k[i].x = ...`
   std::string op;        // Assign: "=", "+=", ...
@@ -372,6 +373,7 @@ struct Shader {
 struct Parser {
   Lexer lex;
   Token cur;
+  int loop_depth = 0;  // for break/continue placement checks
   std::map<std::string, std::string> defines;  // #define NAME tokens
   explicit Parser(const std::string& src) : lex(src) {
     lex.defines = &defines;
@@ -586,6 +588,7 @@ struct Parser {
         auto one = std::make_unique<Expr>();
         one->kind = Expr::Num;
         one->num = 1.0;
+        one->is_int = true;  // i++ keeps an int counter int
         st->expr = std::move(one);
         return st;
       }
@@ -635,7 +638,9 @@ struct Parser {
       expect(";");
       if (!is_punct(")")) st->incr = parse_simple_stmt();
       expect(")");
+      ++loop_depth;
       parse_block(st->then_body);
+      --loop_depth;
       return st;
     }
     if (is_ident("while")) {
@@ -644,12 +649,18 @@ struct Parser {
       st->kind = Stmt::While;
       st->expr = parse_expr();
       expect(")");
+      ++loop_depth;
       parse_block(st->then_body);
+      --loop_depth;
       return st;
     }
     if (is_ident("break") || is_ident("continue")) {
-      fail("'" + cur.text + "' is not supported (restructure the loop "
-           "condition instead)");
+      if (loop_depth == 0)
+        fail("'" + cur.text + "' outside of a loop");
+      st->kind = is_ident("break") ? Stmt::Break : Stmt::Continue;
+      advance();
+      expect(";");
+      return st;
     }
     if (is_ident("return")) {
       advance();
@@ -867,6 +878,8 @@ struct Interp {
   std::map<std::string, std::vector<Val>> arrays;        // per-pixel locals
   std::map<std::string, std::vector<Val>> const_arrays;  // top-level consts
   bool returned = false;
+  bool broke = false;                   // break: unwinds to the nearest loop
+  bool continued = false;               // continue: skips to the next iter
   Val ret_val;                          // value of the innermost `return e;`
   int call_depth = 0;                   // user-function recursion guard
   // Per-pixel loop budget: a fragment shader that spins 10^6 iterations on
@@ -1241,7 +1254,7 @@ struct Interp {
 
   void exec(const std::vector<StmtP>& body) {
     for (const auto& st : body) {
-      if (returned) return;
+      if (returned || broke || continued) return;
       exec_stmt(*st);
     }
   }
@@ -1384,6 +1397,8 @@ struct Interp {
           while (!st->expr || eval(*st->expr).v[0] != 0.f) {
             exec(st->then_body);
             if (returned) break;
+            if (broke) { broke = false; break; }
+            continued = false;  // `continue` still runs the increment
             if (st->incr) exec_stmt(*st->incr);
             if (++iters > kMaxLoopIters)
               throw EvalError("for-loop exceeded the per-pixel iteration "
@@ -1396,12 +1411,20 @@ struct Interp {
           while (eval(*st->expr).v[0] != 0.f) {
             exec(st->then_body);
             if (returned) break;
+            if (broke) { broke = false; break; }
+            continued = false;
             if (++iters > kMaxLoopIters)
               throw EvalError("while-loop exceeded the per-pixel iteration "
                               "budget (1e6) — unbounded loop?");
           }
           break;
         }
+        case Stmt::Break:
+          broke = true;
+          return;
+        case Stmt::Continue:
+          continued = true;
+          return;
         case Stmt::Return:
           ret_val = st->expr ? eval(*st->expr) : Val{};
           returned = true;

@@ -9,14 +9,15 @@
 // vec*mat, mat*mat, transpose(), m[i] column access), swizzles, texture()
 // sampling of u_texture/u_depth (bilinear, clamp-to-edge), the common
 // builtins (floor/step/mix/clamp/smoothstep/...), if/else, for/while loops
-// (capped at 1e6 iterations per pixel — runaway loops error loudly instead
-// of hanging), user-defined helper functions (value returns, by-value
+// with break/continue (capped at 1e6 iterations per pixel — runaway loops
+// error loudly instead of hanging), user-defined helper functions (value
+// returns, by-value
 // params incl. arrays, no recursion — as in GLSL), i++/i--, arrays
 // (`float k[9] = float[](...)`, element read/assign, `.length()`, dynamic
 // vec component indexing `v[i]`, top-level const arrays), object-like
 // `#define NAME value` macros (token substitution; `#version` et al are
 // ignored), and assignment to the declared `out vec4` variable.
-// Unsupported constructs (break/continue, structs, function-like macros,
+// Unsupported constructs (structs, function-like macros,
 // `#if` conditionals) fail with a parse error naming them.  Int literals,
 // int() casts, and `int`-declared variables carry GLSL int semantics:
 // int-int {+,-,*,/,%} stays int with truncating / and %, everything mixed

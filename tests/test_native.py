@@ -437,7 +437,7 @@ void main() {
     np.testing.assert_allclose(out, want, atol=1.5 / 255.0)
 
 
-def test_glsl_while_loop_and_break_rejected(io_dir, tmp_path):
+def test_glsl_while_loop_break_continue(io_dir, tmp_path):
     td, _, _ = io_dir
     frag = tmp_path / "w.frag"
     frag.write_text("""
@@ -445,7 +445,19 @@ void main() {
     float s = 0.0;
     int i = 0;
     while (i < 4) { s += 0.25; i++; }
-    gl_FragColor = vec4(s, s, s, 1.0);
+    // break: stop after 2 of 8 quarters -> t = 0.5
+    float t = 0.0;
+    for (int j = 0; j < 8; j++) {
+        if (j >= 2) { break; }
+        t += 0.25;
+    }
+    // continue: skip odd j, add 4 * 0.125 -> u = 0.5
+    float u = 0.0;
+    for (int j = 0; j < 8; j++) {
+        if (j % 2 == 1) { continue; }
+        u += 0.125;
+    }
+    gl_FragColor = vec4(s, t + u, s, 1.0);  // (1, 1, 1)
 }
 """)
     r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
@@ -454,10 +466,10 @@ void main() {
     assert (_read(td / "w.png") == 255).all()
 
     bad = tmp_path / "bad.frag"
-    bad.write_text("void main() { for (int i = 0; i < 5; i++) { break; } }")
+    bad.write_text("void main() { break; }")
     r = _run(["--input", str(td / "in.png"), "--shader", str(bad),
               "--output", str(td / "x.png")])
-    assert r.returncode == 3 and "break" in r.stderr
+    assert r.returncode == 3 and "outside of a loop" in r.stderr
 
 
 def test_glsl_runaway_loop_errors(io_dir, tmp_path):
