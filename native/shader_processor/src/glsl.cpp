@@ -1122,13 +1122,32 @@ struct Interp {
       return out;
     }
     if (fn == "texture" || fn == "texture2D") {
-      if (e.args.size() != 2 || e.args[0]->kind != Expr::Var)
+      // (sampler, coord[, bias]) — the LOD bias is meaningless without
+      // mipmaps, so a third argument is accepted and ignored
+      if (e.args.size() < 2 || e.args.size() > 3 ||
+          e.args[0]->kind != Expr::Var)
         throw EvalError("texture() needs (sampler, coord)");
       auto it = samplers.find(e.args[0]->name);
       if (it == samplers.end())
         throw EvalError("'" + e.args[0]->name + "' is not a sampler2D");
       Val uv = eval(*e.args[1]);
       return sample(it->second, uv.v[0], uv.v[1]);
+    }
+    if (fn == "textureSize") {
+      // (sampler[, lod]) -> ivec2(width, height); lod ignored (no mipmaps)
+      if (e.args.empty() || e.args[0]->kind != Expr::Var)
+        throw EvalError("textureSize() needs a sampler argument");
+      auto it = samplers.find(e.args[0]->name);
+      if (it == samplers.end())
+        throw EvalError("'" + e.args[0]->name + "' is not a sampler2D");
+      Val out;
+      out.n = 2;
+      out.is_int = true;
+      if (it->second.img) {
+        out.v[0] = float(it->second.img->width);
+        out.v[1] = float(it->second.img->height);
+      }
+      return out;
     }
     auto arg = [&](size_t i) {
       if (i >= e.args.size()) throw EvalError(fn + ": missing argument");

@@ -887,3 +887,28 @@ def test_glsl_matrix_errors_are_loud(io_dir, tmp_path, body, needle):
               "--output", str(td / "me.png")])
     assert r.returncode != 0
     assert needle in r.stderr
+
+
+def test_glsl_texturesize_and_bias_arg(io_dir, tmp_path):
+    """textureSize() returns the image dims (so shaders can compute pixel
+    offsets without u_resolution) and texture()'s optional LOD-bias third
+    argument is accepted.  One-texel right shift must match NumPy."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "ts.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec2 px = vec2(1.0) / vec2(textureSize(u_texture, 0));
+    vec3 right = texture(u_texture, v_texCoord + vec2(px.x, 0.0), 0.0).rgb;
+    FragColor = vec4(right, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "t.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "t.png").astype(int)
+    img = rgb.astype(int)
+    want = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)  # clamp at edge
+    assert np.abs(out - want).max() <= 1
