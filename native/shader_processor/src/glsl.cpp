@@ -399,8 +399,9 @@ struct Parser {
 
   static bool is_type(const std::string& t) {
     return t == "float" || t == "int" || t == "bool" || t == "vec2" ||
-           t == "vec3" || t == "vec4" || t == "mat2" || t == "mat3" ||
-           t == "mat4" || t == "sampler2D";
+           t == "vec3" || t == "vec4" || t == "ivec2" || t == "ivec3" ||
+           t == "ivec4" || t == "bvec2" || t == "bvec3" || t == "bvec4" ||
+           t == "mat2" || t == "mat3" || t == "mat4" || t == "sampler2D";
   }
 
   Shader parse() {
@@ -1066,10 +1067,41 @@ struct Interp {
     // constructors
     if (fn == "float") return Val::scalar(eval(*e.args[0]).v[0]);
     if (fn == "int") return Val::iscalar(int(eval(*e.args[0]).v[0]));
-    if (fn == "vec2" || fn == "vec3" || fn == "vec4") {
-      int n = fn[3] - '0';
+    if (fn == "vec2" || fn == "vec3" || fn == "vec4" || fn == "ivec2" ||
+        fn == "ivec3" || fn == "ivec4" || fn == "bvec2" || fn == "bvec3" ||
+        fn == "bvec4") {
+      bool to_int = fn[0] == 'i', to_bool = fn[0] == 'b';
+      int n = fn[fn.size() - 1] - '0';
       Val out;
       out.n = n;
+      out.is_int = to_int;
+      auto coerce = [&](Val& o) {
+        for (int i = 0; i < o.n; ++i) {
+          if (to_int) o.v[i] = float(long(o.v[i]));
+          if (to_bool) o.v[i] = o.v[i] != 0.f ? 1.f : 0.f;
+        }
+        return o;
+      };
+      if (to_int || to_bool) {
+        // same fill rules as vecN below, then coerce components
+        if (e.args.size() == 1) {
+          Val a = eval(*e.args[0]);
+          if (a.mat) throw EvalError(fn + " constructor takes scalars/vectors");
+          if (a.n == 1)
+            for (int i = 0; i < n; ++i) out.v[i] = a.v[0];
+          else
+            for (int i = 0; i < n && i < a.n; ++i) out.v[i] = a.v[i];
+          return coerce(out);
+        }
+        int k0 = 0;
+        for (const auto& argp : e.args) {
+          Val a = eval(*argp);
+          if (a.mat) throw EvalError(fn + " constructor takes scalars/vectors");
+          for (int i = 0; i < a.n && k0 < n; ++i) out.v[k0++] = a.v[i];
+        }
+        if (k0 != n) throw EvalError(fn + " constructor arity mismatch");
+        return coerce(out);
+      }
       if (e.args.size() == 1) {
         Val a = eval(*e.args[0]);
         if (a.n == 1)
@@ -1284,7 +1316,8 @@ struct Interp {
       switch (st->kind) {
         case Stmt::Decl: {
           Val v = st->expr ? eval(*st->expr) : Val{};
-          if (st->op == "int") {  // declared type coerces (GLSL: int i = ...)
+          if (st->op == "int" || st->op.rfind("ivec", 0) == 0) {
+            // declared type coerces (GLSL: int i = ..., ivec2 ts = ...)
             for (int k = 0; k < v.n; ++k) v.v[k] = float(long(v.v[k]));
             v.is_int = true;
           } else if (!st->op.empty()) {

@@ -912,3 +912,29 @@ void main() {
     img = rgb.astype(int)
     want = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)  # clamp at edge
     assert np.abs(out - want).max() <= 1
+
+
+def test_glsl_ivec_bvec_types(io_dir, tmp_path):
+    """ivec2/3/4 and bvec2/3/4: textureSize() into ivec2 keeps integer
+    semantics (area / 2 truncates), bvec coerces to 0/1."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "iv.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    ivec2 ts = textureSize(u_texture, 0);          // (20, 20)
+    int area = ts.x * ts.y;                        // 400 (int)
+    int half_area = area / 2;                      // 200
+    bvec2 flags = bvec2(3.5, 0.0);                 // (1, 0)
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    float ok = step(abs(float(half_area) - 200.0)
+                    + abs(flags.x - 1.0) + abs(flags.y), 0.001);
+    FragColor = vec4(c * ok, 1.0);  // identity iff the int math held
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "iv.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "iv.png"), rgb, atol=1)
