@@ -938,3 +938,56 @@ void main() {
               "--output", str(td / "iv.png")])
     assert r.returncode == 0, r.stderr
     np.testing.assert_allclose(_read(td / "iv.png"), rgb, atol=1)
+
+
+def test_glsl_composite_crt_shader(io_dir, tmp_path):
+    """Integration of the whole interpreted subset in one realistic CRT
+    shader: #define macros (incl. in a const array size), const weight
+    array, helper function with loop+break, textureSize(), mat3 color
+    warm-up, gl_FragCoord scanlines with int %.  Must match NumPy."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "crt.frag"
+    frag.write_text("""
+#version 330 core
+#define TAPS 5
+#define DIM 0.6
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+
+const float w[TAPS] = float[](0.1, 0.2, 0.4, 0.2, 0.1);
+const mat3 WARM = mat3(
+    1.05, 0.0,  0.0,
+    0.0,  1.0,  0.0,
+    0.0,  0.0,  0.9);
+
+vec3 hblur(vec2 uv) {
+    vec2 px = vec2(1.0) / vec2(textureSize(u_texture, 0));
+    vec3 acc = vec3(0.0);
+    for (int i = 0; i < w.length(); i++) {
+        if (i >= TAPS) { break; }
+        acc += texture(u_texture, uv + vec2(float(i - 2) * px.x, 0.0)).rgb
+               * w[i];
+    }
+    return acc;
+}
+
+void main() {
+    vec3 c = WARM * hblur(v_texCoord);
+    float scan = (int(gl_FragCoord.y) % 2 == 0) ? 1.0 : DIM;
+    FragColor = vec4(clamp(c * scan, 0.0, 1.0), 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "crt.png")])
+    assert r.returncode == 0, r.stderr
+    out = _read(td / "crt.png").astype(np.float64) / 255.0
+
+    img = rgb.astype(np.float64) / 255.0
+    w = [0.1, 0.2, 0.4, 0.2, 0.1]
+    pad = np.pad(img, ((0, 0), (2, 2), (0, 0)), mode="edge")
+    blur = sum(wt * pad[:, i:i + img.shape[1]] for i, wt in enumerate(w))
+    warm = blur * np.array([1.05, 1.0, 0.9])
+    warm[1::2] *= 0.6
+    want = np.clip(warm, 0, 1)
+    np.testing.assert_allclose(out, want, atol=2.0 / 255.0)
