@@ -177,6 +177,51 @@ struct Lexer {
 
   explicit Lexer(const std::string& src) : s(src) {}
 
+  // #if/#ifdef nesting: (this branch active, any branch taken yet)
+  std::vector<std::pair<bool, bool>> cond_stack;
+  bool active() const {
+    for (const auto& p : cond_stack)
+      if (!p.first) return false;
+    return true;
+  }
+
+  // evaluate a #if / #elif condition: `0`/`1`/integer, `defined(NAME)`,
+  // `!defined(NAME)`, or a macro name that expands to an integer.
+  // Anything richer errors loudly rather than guessing.
+  bool eval_condition(std::string cond) {
+    auto trim = [](std::string& t) {
+      size_t a = t.find_first_not_of(" \t");
+      size_t b = t.find_last_not_of(" \t");
+      t = a == std::string::npos ? "" : t.substr(a, b - a + 1);
+    };
+    trim(cond);
+    bool neg = false;
+    if (!cond.empty() && cond[0] == '!') {
+      neg = true;
+      cond = cond.substr(1);
+      trim(cond);
+    }
+    if (cond.rfind("defined", 0) == 0) {
+      std::string name = cond.substr(7);
+      trim(name);
+      if (!name.empty() && name.front() == '(' && name.back() == ')') {
+        name = name.substr(1, name.size() - 2);
+        trim(name);
+      }
+      bool d = defines && defines->count(name);
+      return neg != d;
+    }
+    // macro indirection: NAME -> its body (one level), then integer
+    if (defines && defines->count(cond)) cond = defines->at(cond);
+    trim(cond);
+    char* end = nullptr;
+    long x = std::strtol(cond.c_str(), &end, 0);
+    if (end == cond.c_str() || (end && *end != '\0'))
+      throw EvalError("glsl: unsupported #if condition '" + cond +
+                      "' (use 0/1, a numeric macro, or defined(NAME))");
+    return neg != (x != 0);
+  }
+
   void handle_directive() {
     // at '#': parse the directive name
     size_t line_end = s.find('\n', i);
@@ -189,6 +234,56 @@ struct Lexer {
     while (k < line.size() &&
            (std::isalnum((unsigned char)line[k]) || line[k] == '_')) ++k;
     std::string dir = line.substr(j, k - j);
+    std::string rest = line.substr(std::min(k, line.size()));
+    size_t cm = rest.find("//");
+    if (cm != std::string::npos) rest = rest.substr(0, cm);
+    if (dir == "ifdef" || dir == "ifndef" || dir == "if") {
+      bool c = false;
+      if (active()) {
+        if (dir == "if") {
+          c = eval_condition(rest);
+        } else {
+          size_t p = rest.find_first_not_of(" \t");
+          size_t q = rest.find_last_not_of(" \t");
+          std::string name =
+              p == std::string::npos ? "" : rest.substr(p, q - p + 1);
+          bool d = defines && defines->count(name);
+          c = (dir == "ifdef") ? d : !d;
+        }
+      }
+      cond_stack.emplace_back(c, c);
+      i = (line_end == std::string::npos) ? s.size() : line_end;
+      return;
+    }
+    if (dir == "elif" || dir == "else" || dir == "endif") {
+      if (cond_stack.empty())
+        throw EvalError("glsl: '#" + dir + "' without a matching #if");
+      if (dir == "endif") {
+        cond_stack.pop_back();
+      } else {
+        auto& top = cond_stack.back();
+        bool parent_active = true;
+        for (size_t d2 = 0; d2 + 1 < cond_stack.size(); ++d2)
+          parent_active = parent_active && cond_stack[d2].first;
+        bool take = parent_active && !top.second &&
+                    (dir == "else" || eval_condition(rest));
+        top.first = take;
+        top.second = top.second || take;
+      }
+      i = (line_end == std::string::npos) ? s.size() : line_end;
+      return;
+    }
+    if (!active()) {  // directives other than conditionals are skipped
+      i = (line_end == std::string::npos) ? s.size() : line_end;
+      return;
+    }
+    if (dir == "undef" && defines) {
+      size_t p = rest.find_first_not_of(" \t");
+      size_t q = rest.find_last_not_of(" \t");
+      if (p != std::string::npos) defines->erase(rest.substr(p, q - p + 1));
+      i = (line_end == std::string::npos) ? s.size() : line_end;
+      return;
+    }
     if (dir == "define" && defines) {
       // #define NAME value-tokens   (function-like macros are rejected)
       size_t p = k;
@@ -208,13 +303,6 @@ struct Lexer {
       if (cm != std::string::npos) e = cm;
       while (e > q && std::isspace((unsigned char)line[e - 1])) --e;
       (*defines)[name] = line.substr(q, e - q);
-    } else if (dir == "if" || dir == "ifdef" || dir == "ifndef" ||
-               dir == "elif" || dir == "else" || dir == "endif" ||
-               dir == "undef") {
-      // conditional compilation would silently change which code runs —
-      // error loudly rather than mis-execute the shader
-      throw EvalError("glsl: preprocessor conditional '#" + dir +
-                      "' is not supported");
     }
     // #version / #extension / #pragma / #line: ignored
     i = (line_end == std::string::npos) ? s.size() : line_end;
@@ -225,6 +313,12 @@ struct Lexer {
       while (i < s.size() && std::isspace((unsigned char)s[i])) ++i;
       if (i < s.size() && s[i] == '#') {  // preprocessor line
         handle_directive();
+        continue;
+      }
+      if (!active() && i < s.size()) {
+        // inside a false #if branch: consume to the end of the line and
+        // look for the next directive
+        while (i < s.size() && s[i] != '\n') ++i;
         continue;
       }
       if (i + 1 < s.size() && s[i] == '/' && s[i + 1] == '/') {
@@ -506,6 +600,7 @@ struct Parser {
         fail("unsupported top-level construct '" + cur.text + "'");
       }
     }
+    if (!lex.cond_stack.empty()) fail("unterminated #if/#ifdef");
     if (sh.out_name.empty()) sh.out_name = "gl_FragColor";
     return sh;
   }

@@ -16,9 +16,11 @@
 // (`float k[9] = float[](...)`, element read/assign, `.length()`, dynamic
 // vec component indexing `v[i]`, top-level const arrays), object-like
 // `#define NAME value` macros (token substitution; `#version` et al are
-// ignored), and assignment to the declared `out vec4` variable.
-// Unsupported constructs (structs, function-like macros,
-// `#if` conditionals) fail with a parse error naming them.  Int literals,
+// ignored), preprocessor conditionals (`#ifdef`/`#ifndef`/`#else`/`#endif`,
+// `#if`/`#elif` with 0/1, numeric-macro, or defined(NAME) conditions,
+// `#undef`), and assignment to the declared `out vec4` variable.
+// Unsupported constructs (structs, function-like macros, richer `#if`
+// expressions) fail with a parse error naming them.  Int literals,
 // int() casts, and `int`-declared variables carry GLSL int semantics:
 // int-int {+,-,*,/,%} stays int with truncating / and %, everything mixed
 // promotes to float (real GLSL would reject the mix; this subset forgives).

@@ -743,8 +743,12 @@ void main() {
 @pytest.mark.parametrize("src,needle", [
     ("#define SQ(x) ((x)*(x))\nvoid main() { gl_FragColor = vec4(SQ(0.5)); }",
      "function-like macro"),
-    ("#define ON 1\n#if ON\nvoid main() { gl_FragColor = vec4(1.0); }\n#endif",
-     "conditional '#if'"),
+    ("#if 1\nvoid main() { gl_FragColor = vec4(1.0); }",
+     "unterminated #if"),
+    ("#endif\nvoid main() { gl_FragColor = vec4(1.0); }",
+     "without a matching #if"),
+    ("#if FOO > 2\nvoid main() {}\n#endif",
+     "unsupported #if condition"),
     ("#define A B\n#define B A\nvoid main() { gl_FragColor = vec4(A); }",
      "macro expansion too deep"),
 ])
@@ -991,3 +995,47 @@ void main() {
     warm[1::2] *= 0.6
     want = np.clip(warm, 0, 1)
     np.testing.assert_allclose(out, want, atol=2.0 / 255.0)
+
+
+def test_glsl_preprocessor_conditionals(io_dir, tmp_path):
+    """#ifdef GL_ES headers, #if/#elif/#else branch selection, #ifndef — the
+    portable-shader boilerplate every shadertoy-style .frag carries.  Output
+    is the identity iff exactly the right branches were taken."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "cond.frag"
+    frag.write_text("""
+#version 330 core
+#ifdef GL_ES
+precision mediump float;
+this line would be a parse error if the dead branch were lexed;
+#endif
+#define QUALITY 2
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+#if QUALITY
+    float gain = 1.0;
+#else
+    float gain = 0.0;
+#endif
+#ifndef GL_ES
+    gain = gain * 1.0;
+#else
+    gain = 0.5;
+#endif
+#if defined(QUALITY)
+    float bias = 0.0;
+#elif defined(NOPE)
+    float bias = 9.0;
+#else
+    float bias = 5.0;
+#endif
+    FragColor = vec4(c * gain + bias, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "c2.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "c2.png"), rgb, atol=1)
