@@ -431,7 +431,7 @@ def _save_validation_render(state, cfg, dataset, save_dir, step,
         rgb, depth, _ = render_frame(
             params["model"], cfg, jax.random.key(0), dataset.c2ws[-1],
             h, w, dataset.focal / scale, appearance_embedding=emb,
-            n_importance=0, perturb=False)
+            n_importance=cfg.num_importance, perturb=False)
         rgb_u8 = np.clip(np.asarray(rgb) * 255, 0, 255).astype(np.uint8)
         strip = np.concatenate([rgb_u8, colorize_depth(np.asarray(depth))], axis=1)
         Image.fromarray(strip).save(os.path.join(save_dir, f"render_{step:06d}.png"))

@@ -48,6 +48,20 @@ Val broadcast_op(const Val& a, const Val& b, float (*f)(float, float),
   return out;
 }
 
+// Coerce a value to a declared scalar/vector type: int/ivecN truncates and
+// keeps integer semantics; any other declared type makes it float, mirroring
+// GLSL's implicit int->float conversion at declarations, parameter binding,
+// array construction, and uniform overrides.
+void coerce_to_type(Val& v, const std::string& type) {
+  if (type.empty()) return;
+  if (type == "int" || type.rfind("ivec", 0) == 0) {
+    for (int k = 0; k < v.n; ++k) v.v[k] = float(long(v.v[k]));
+    v.is_int = true;
+  } else {
+    v.is_int = false;
+  }
+}
+
 Val map1(const Val& a, float (*f)(float)) {
   if (a.mat) throw EvalError("componentwise builtins do not accept matrices");
   Val out = a;
@@ -442,6 +456,7 @@ struct Stmt {
 struct Func {
   std::string ret_type;                 // "void", "float", "vec3", ...
   std::vector<std::string> param_names;
+  std::vector<std::string> param_types; // declared types; coerce at call
   std::vector<StmtP> body;
 };
 
@@ -536,7 +551,10 @@ struct Parser {
           expect(";");
           std::vector<Val> vals;
           vals.reserve(elems.size());
-          for (const auto& el : elems) vals.push_back(const_eval(*el));
+          for (const auto& el : elems) {
+            vals.push_back(const_eval(*el));
+            coerce_to_type(vals.back(), type);  // float[](1, 2) holds floats
+          }
           if (size) {
             int n = int(const_eval(*size).v[0]);
             if (n != int(vals.size()))
@@ -547,7 +565,9 @@ struct Parser {
         } else {
           expect("=");
           ExprP e = parse_expr();
-          sh.consts[name] = const_eval(*e);
+          Val cv = const_eval(*e);
+          coerce_to_type(cv, type);  // const float k = 1 is a float
+          sh.consts[name] = cv;
           expect(";");
         }
       } else if (is_ident("in") || is_ident("varying")) {
@@ -574,6 +594,7 @@ struct Parser {
           if (is_ident("in") || is_ident("const")) advance();  // qualifiers
           std::string ptype = expect_ident();
           if (!is_type(ptype)) fail("bad parameter type '" + ptype + "'");
+          f.param_types.push_back(ptype);
           f.param_names.push_back(expect_ident());
           if (is_punct("[")) {  // array parameter `float k[9]` (by value)
             advance();
@@ -637,6 +658,11 @@ struct Parser {
       size_t save_i = lex.i;
       std::vector<Token> save_pending = lex.pending;
       Token save_cur = cur;
+      // preprocessor state must round-trip through the backtrack too: a
+      // directive between the identifier and the next token would otherwise
+      // be processed twice (double-pushing the #if stack / re-#defining)
+      auto save_cond = lex.cond_stack;
+      auto save_defines = defines;
       advance();
       if (is_punct("[")) {
         // element assignment: name[idx](.swz)? (=|+=|...|++|--) ...
@@ -702,6 +728,8 @@ struct Parser {
       lex.i = save_i;
       lex.pending = save_pending;
       cur = save_cur;
+      lex.cond_stack = std::move(save_cond);
+      defines = std::move(save_defines);
     }
     st->kind = Stmt::ExprStmt;
     st->expr = parse_expr();
@@ -1072,6 +1100,7 @@ struct Interp {
           throw EvalError("cannot swizzle a matrix (index columns with [i])");
         Val out;
         out.n = int(e.name.size());
+        out.is_int = base.is_int;  // ivec2 ts; ts.x is still an int
         if (out.n > 4) throw EvalError("swizzle too long: ." + e.name);
         for (int i = 0; i < out.n; ++i) {
           int idx = swizzle_index(e.name[i]);
@@ -1113,8 +1142,10 @@ struct Interp {
           for (int r = 0; r < b.mat; ++r) out.v[r] = b.v[c * b.mat + r];
           return out;
         }
-        // dynamic component access on a vec value: v[i]
-        return Val::scalar(b.v[index_of(iv, "vector", b.n)]);
+        // dynamic component access on a vec value: v[i] (ivec stays int)
+        Val out = Val::scalar(b.v[index_of(iv, "vector", b.n)]);
+        out.is_int = b.is_int;
+        return out;
       }
       case Expr::Call:
         return eval_call(e);
@@ -1284,7 +1315,12 @@ struct Interp {
     if (fn == "floor") return map1(arg(0), std::floor);
     if (fn == "ceil") return map1(arg(0), std::ceil);
     if (fn == "fract") return map1(arg(0), [](float x) { return x - std::floor(x); });
-    if (fn == "abs") return map1(arg(0), std::fabs);
+    if (fn == "abs") {  // GLSL has an int overload: abs(int) is int
+      Val a = arg(0);
+      Val out = map1(a, std::fabs);
+      out.is_int = a.is_int;
+      return out;
+    }
     if (fn == "sqrt") return map1(arg(0), std::sqrt);
     if (fn == "sin") return map1(arg(0), std::sin);
     if (fn == "cos") return map1(arg(0), std::cos);
@@ -1292,12 +1328,23 @@ struct Interp {
     if (fn == "exp") return map1(arg(0), std::exp);
     if (fn == "exp2") return map1(arg(0), std::exp2);
     if (fn == "log") return map1(arg(0), std::log);
-    if (fn == "sign") return map1(arg(0), [](float x) { return float((x > 0) - (x < 0)); });
+    if (fn == "sign") {  // int overload: sign(int) is int
+      Val a = arg(0);
+      Val out = map1(a, [](float x) { return float((x > 0) - (x < 0)); });
+      out.is_int = a.is_int;
+      return out;
+    }
     // componentwise binary
     if (fn == "pow") return broadcast_op(arg(0), arg(1), [](float x, float y) { return std::pow(x, y); }, "pow");
     if (fn == "mod") return broadcast_op(arg(0), arg(1), [](float x, float y) { return x - y * std::floor(x / y); }, "mod");
-    if (fn == "min") return broadcast_op(arg(0), arg(1), [](float x, float y) { return std::min(x, y); }, "min");
-    if (fn == "max") return broadcast_op(arg(0), arg(1), [](float x, float y) { return std::max(x, y); }, "max");
+    if (fn == "min" || fn == "max") {  // int overloads: min/max(int, int) is int
+      Val a = arg(0), b = arg(1);
+      Val out = fn == "min"
+          ? broadcast_op(a, b, [](float x, float y) { return std::min(x, y); }, "min")
+          : broadcast_op(a, b, [](float x, float y) { return std::max(x, y); }, "max");
+      out.is_int = a.is_int && b.is_int;
+      return out;
+    }
     if (fn == "step") return broadcast_op(arg(0), arg(1), [](float e0, float x) { return x < e0 ? 0.f : 1.f; }, "step");
     if (fn == "distance") {
       Val a = arg(0), b = arg(1);
@@ -1330,10 +1377,12 @@ struct Interp {
       return out;
     }
     // ternary builtins
-    if (fn == "clamp") {
+    if (fn == "clamp") {  // int overload: clamp(int, int, int) is int
       Val x = arg(0), lo = arg(1), hi = arg(2);
       Val t = broadcast_op(x, lo, [](float a, float b) { return std::max(a, b); }, "clamp");
-      return broadcast_op(t, hi, [](float a, float b) { return std::min(a, b); }, "clamp");
+      Val out = broadcast_op(t, hi, [](float a, float b) { return std::min(a, b); }, "clamp");
+      out.is_int = x.is_int && lo.is_int && hi.is_int;
+      return out;
     }
     if (fn == "mix") {
       Val a = arg(0), b = arg(1), t = arg(2);
@@ -1376,6 +1425,9 @@ struct Interp {
         }
       }
       argv[i] = eval(a);
+      // bind with the declared parameter type's semantics: third(1) with
+      // `float third(float x)` converts the int 1 to float at the call
+      if (i < f.param_types.size()) coerce_to_type(argv[i], f.param_types[i]);
     }
     std::map<std::string, Val> saved_locals;
     saved_locals.swap(locals);
@@ -1411,20 +1463,20 @@ struct Interp {
       switch (st->kind) {
         case Stmt::Decl: {
           Val v = st->expr ? eval(*st->expr) : Val{};
-          if (st->op == "int" || st->op.rfind("ivec", 0) == 0) {
-            // declared type coerces (GLSL: int i = ..., ivec2 ts = ...)
-            for (int k = 0; k < v.n; ++k) v.v[k] = float(long(v.v[k]));
-            v.is_int = true;
-          } else if (!st->op.empty()) {
-            v.is_int = false;
-          }
+          // declared type coerces (GLSL: int i = ..., ivec2 ts = ...,
+          // float f = 1 makes the 1 a float)
+          coerce_to_type(v, st->op);
           locals[st->name] = v;
           break;
         }
         case Stmt::DeclArr: {
           std::vector<Val> vals;
           vals.reserve(st->elems.size());
-          for (const auto& el : st->elems) vals.push_back(eval(*el));
+          for (const auto& el : st->elems) {
+            vals.push_back(eval(*el));
+            // element type coerces: float k[2] = float[](1, 2) holds floats
+            coerce_to_type(vals.back(), st->op);
+          }
           int size = st->expr ? index_of(eval(*st->expr), "array size",
                                          0x7fffffff)
                               : int(vals.size());
@@ -1628,12 +1680,15 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
         it = uniforms.find(kv.first.substr(2));  // allow --param levels=4
       if (it != uniforms.end()) {
         v = Val::scalar(float(it->second));
-        if (kv.second.type == "vec2" || kv.second.type == "vec3" ||
-            kv.second.type == "vec4") {
-          int n = kv.second.type[3] - '0';
+        const std::string& ty = kv.second.type;
+        if (ty.rfind("vec", 0) == 0 || ty.rfind("ivec", 0) == 0 ||
+            ty.rfind("bvec", 0) == 0) {
+          int n = ty[ty.size() - 1] - '0';
           v.n = n;
           for (int i = 1; i < n; ++i) v.v[i] = v.v[0];
         }
+        // a --param override of a `uniform int` keeps integer semantics
+        coerce_to_type(v, ty);
       } else if (!kv.second.has_default && kv.first.find("resolution") != std::string::npos) {
         v.n = 2;
         v.v[0] = float(rgb.width);

@@ -20,10 +20,13 @@
 // `#if`/`#elif` with 0/1, numeric-macro, or defined(NAME) conditions,
 // `#undef`), and assignment to the declared `out vec4` variable.
 // Unsupported constructs (structs, function-like macros, richer `#if`
-// expressions) fail with a parse error naming them.  Int literals,
-// int() casts, and `int`-declared variables carry GLSL int semantics:
-// int-int {+,-,*,/,%} stays int with truncating / and %, everything mixed
-// promotes to float (real GLSL would reject the mix; this subset forgives).
+// expressions) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
+// carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
+// and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
+// int-ness, and declared types coerce (float k = 1, float[](1, 2), float
+// parameters bound from int arguments, --param overrides of int uniforms
+// truncate).  Everything mixed promotes to float (real GLSL would reject
+// the mix; this subset forgives).
 //
 // Semantics notes:
 // - texcoord origin is top-left with v increasing downward, so

@@ -795,6 +795,95 @@ void main() {
     np.testing.assert_allclose(_read(td / "i.png"), rgb, atol=1)
 
 
+def test_glsl_int_float_coercions(io_dir, tmp_path):
+    """Declared types coerce int literals the way a real GLSL compiler does
+    (ADVICE r3): float-array constructor elements, float parameters bound
+    from int args, const float initializers, ivec swizzle/index reads, and
+    int-preserving builtins (abs/min/max/clamp)."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "coerce.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+const float CF = 1;                          // const float from int literal
+float third(float x) { return x / 3; }       // int arg converts at the call
+void main() {
+    float k[2] = float[](1, 2);
+    float a = k[0] / 3;                      // 0.333..., not int-div 0
+    float b = third(1);                      // 0.333...
+    float c = CF / 2;                        // 0.5
+    ivec2 ts = textureSize(u_texture, 0);
+    int m = ts.x % 2;                        // swizzle keeps int (20 % 2 = 0)
+    int n = ts[1] / 3;                       // index keeps int (20 / 3 = 6)
+    int p = abs(-7) / 2;                     // abs int overload: 3
+    int q = max(3, 5) / 2;                   // max int overload: 2
+    int r = clamp(9, 0, 4) / 3;              // clamp int overload: 1
+    vec3 px = texture(u_texture, v_texCoord).rgb;
+    float ok = step(abs(a - 1.0/3.0) + abs(b - 1.0/3.0) + abs(c - 0.5)
+                    + abs(float(m)) + abs(float(n) - 6.0)
+                    + abs(float(p) - 3.0) + abs(float(q) - 2.0)
+                    + abs(float(r) - 1.0), 0.001);
+    FragColor = vec4(px * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "co.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "co.png"), rgb, atol=1)
+
+
+def test_glsl_int_uniform_override_keeps_int(io_dir, tmp_path):
+    """--param on a `uniform int` must truncate and keep integer semantics
+    (ADVICE r3): u_n % 2 and u_n / 2 behave integrally when overridden."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "iuniform.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+uniform int u_n = 3;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    int m = u_n % 2;                         // 5 % 2 = 1
+    int d = u_n / 2;                         // 5 / 2 = 2 (int division)
+    vec3 px = texture(u_texture, v_texCoord).rgb;
+    float ok = step(abs(float(m) - 1.0) + abs(float(d) - 2.0), 0.001);
+    FragColor = vec4(px * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "iu.png"), "--param", "u_n=5.7"])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "iu.png"), rgb, atol=1)
+
+
+def test_glsl_directive_mid_statement_backtrack(io_dir, tmp_path):
+    """A preprocessor directive between a statement-leading identifier and
+    the next token must not be processed twice through the parser backtrack
+    (ADVICE r3: double-pushed #if stack => spurious 'unterminated #if')."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "middir.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 px = texture(u_texture, v_texCoord).rgb;
+    px
+#ifdef NOT_SET
+        .r = 0.0;
+#else
+        .g = px.g;
+#endif
+    FragColor = vec4(px, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "md.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "md.png"), rgb, atol=1)
+
+
 @pytest.mark.parametrize("body,needle", [
     ("FragColor = vec4(3.5 % 2.0);", "requires integer operands"),
     ("FragColor = vec4(float(3 / 0));", "integer division by zero"),

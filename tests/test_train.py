@@ -106,6 +106,27 @@ def test_train_loop_with_resume(tmp_path, scene):
     assert int(state2.step) == 12
 
 
+def test_validation_render_honors_num_importance(tmp_path, scene, monkeypatch):
+    """Periodic eval renders must run the config actually being trained
+    (hier config => hier render), not a hardcoded coarse-only pass."""
+    import danerf_tpu.render.renderer as renderer_mod
+    from danerf_tpu.train.trainer import _save_validation_render
+
+    cfg = TINY.replace(num_importance=16)
+    state = create_train_state(jax.random.key(0), cfg, scene.n_images)
+    seen = {}
+    real = renderer_mod.render_frame
+
+    def spy(*args, **kwargs):
+        seen["n_importance"] = kwargs.get("n_importance")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(renderer_mod, "render_frame", spy)
+    _save_validation_render(state, cfg, scene, str(tmp_path), 1)
+    assert seen["n_importance"] == 16
+    assert os.path.exists(os.path.join(str(tmp_path), "render_000001.png"))
+
+
 def test_step_replay_is_exact(scene):
     """Deterministic PRNG threading: same seed => bit-identical training
     trajectory (SURVEY.md §5.2 — the replay/race-detection story)."""
