@@ -131,6 +131,42 @@ def test_ssim_standard_window_properties():
     assert ssim(a, scrambled) < s_noisy
 
 
+def test_ssim_matches_independent_scipy_reference():
+    """Cross-check against a from-scratch scipy implementation of Wang et
+    al. 2004 (2D correlate with an outer-product Gaussian window, population
+    statistics, valid region).  Unlike the skimage check below this never
+    skips: scipy is always present, and its correlate2d shares no code with
+    the separable filter in danerf_tpu.train.metrics."""
+    from scipy.signal import correlate2d
+
+    from danerf_tpu.train.metrics import ssim
+
+    def ref_ssim(a, b, data_range=1.0, win=11, sigma=1.5):
+        r = np.arange(win) - (win - 1) / 2.0
+        g = np.exp(-(r ** 2) / (2 * sigma ** 2))
+        k = np.outer(g, g)
+        k /= k.sum()
+        filt = lambda x: correlate2d(x, k, mode="valid")
+        c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+        mu_a, mu_b = filt(a), filt(b)
+        va = filt(a * a) - mu_a ** 2
+        vb = filt(b * b) - mu_b ** 2
+        cov = filt(a * b) - mu_a * mu_b
+        s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+            (mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))
+        return float(s.mean())
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (48, 48))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    np.testing.assert_allclose(ssim(a, b), ref_ssim(a, b), atol=1e-10)
+    # and per-channel averaging on color images
+    ac = rng.uniform(0, 1, (40, 40, 3))
+    bc = np.clip(ac + rng.normal(0, 0.1, ac.shape), 0, 1)
+    want = np.mean([ref_ssim(ac[..., c], bc[..., c]) for c in range(3)])
+    np.testing.assert_allclose(ssim(ac, bc), want, atol=1e-10)
+
+
 def test_ssim_matches_skimage_if_available():
     pytest.importorskip("skimage")
     from skimage.metrics import structural_similarity
