@@ -13,6 +13,11 @@ runs through a JAX mirror rather than raw torch — this host's torch floor is
                         (64+64, mse(fine)+mse(coarse)) — the external anchor
                         for the repo's DEFAULT config (VERDICT item 8).
   Arm "framework_hier"  production trainer, default 64+64 config.
+  Arm "framework_paired[_hier]"
+                        production trainer started from the SAME torch init
+                        as the reference arm's matching seed: per-seed
+                        differencing removes init variance, collapsing the
+                        delta CI (one-sample t on per-seed deltas).
 
 Born-dead-seed handling is SYMMETRIC (VERDICT item 1): every run's init is
 probed with the same fixed probe set (density_alive_probe); dead seeds are
@@ -47,8 +52,16 @@ from danerf_tpu.data.blender import load_blender_scene
 RUNS_DIR = "examples/parity_runs"
 
 
-def jax_framework_run(cfg, train_ds, val_ds, iters, seed):
-    """One production-trainer run + eval; returns the result dict."""
+def jax_framework_run(cfg, train_ds, val_ds, iters, seed,
+                      from_torch_init=False):
+    """One production-trainer run + eval; returns the result dict.
+
+    With ``from_torch_init`` the run starts from the SAME torch init the
+    reference arm uses for this seed (benchmarks/jax_reference.py
+    sample_torch_init), pairing seeds across arms so per-seed differencing
+    removes init variance from the delta CI (VERDICT r3 item 4).  The alive/
+    dead probe then agrees with the reference arm's by construction.
+    """
     import jax
 
     from benchmarks.jax_reference import density_alive_probe
@@ -56,6 +69,15 @@ def jax_framework_run(cfg, train_ds, val_ds, iters, seed):
     from danerf_tpu.train.evaluate import evaluate
 
     state = create_train_state(jax.random.key(seed), cfg, train_ds.n_images)
+    if from_torch_init:
+        from benchmarks.jax_reference import (sample_torch_init,
+                                              torch_init_to_params)
+        from danerf_tpu.train.trainer import make_optimizer
+
+        params0 = torch_init_to_params(
+            sample_torch_init(cfg, train_ds.n_images, seed), cfg)
+        state = state._replace(params=params0,
+                               opt_state=make_optimizer(cfg).init(params0))
     probe = density_alive_probe(state.params["model"], cfg,
                                 train_ds.images.shape, train_ds.c2ws,
                                 train_ds.focal)
@@ -204,10 +226,12 @@ def main():
     ap.add_argument("--out", default="examples/parity_report.json")
     ap.add_argument("--arms", default="all",
                     help="comma list: reference,framework,framework_f32,"
-                         "reference_hier,framework_hier (or 'all')")
+                         "reference_hier,framework_hier,framework_paired,"
+                         "framework_paired_hier (or 'all')")
     args = ap.parse_args()
     arms = (["reference", "framework", "framework_f32", "reference_hier",
-             "framework_hier"] if args.arms == "all" else args.arms.split(","))
+             "framework_hier", "framework_paired", "framework_paired_hier"]
+            if args.arms == "all" else args.arms.split(","))
 
     import jax
 
@@ -222,12 +246,19 @@ def main():
     cfg_ref_h = base.replace(use_bf16=False, use_pallas=False)   # 64+64
     cfg_fw_h = base.replace(use_bf16=True, use_pallas=on_tpu)    # 64+64
 
+    import functools
+
+    paired_run = functools.partial(jax_framework_run, from_torch_init=True)
     plan = {
         "reference": (mirror_run, cfg_ref, args.seeds),
         "framework": (jax_framework_run, cfg_fw, args.seeds),
         "framework_f32": (jax_framework_run, cfg_f32, args.f32_seeds),
         "reference_hier": (mirror_run, cfg_ref_h, args.hier_seeds),
         "framework_hier": (jax_framework_run, cfg_fw_h, args.hier_seeds),
+        # same torch init as the reference arm's matching seed: per-seed
+        # differencing removes init variance from the delta (VERDICT item 4)
+        "framework_paired": (paired_run, cfg_fw, args.seeds),
+        "framework_paired_hier": (paired_run, cfg_fw_h, args.hier_seeds),
     }
 
     results, dead_log = {}, {}
@@ -273,6 +304,38 @@ def main():
     delta("framework_f32", "reference", "delta_f32_minus_reference")
     delta("framework_hier", "reference_hier", "delta_hier")
 
+    def paired_delta(a, b, key):
+        """Per-seed differencing over seeds common to both arms (the arms
+        share each seed's init, so init variance cancels): one-sample t CI
+        on the per-seed PSNR deltas."""
+        if not (results.get(a) and results.get(b)):
+            return
+        by_seed_a = {r["seed"]: r["val_psnr"] for r in results[a]}
+        by_seed_b = {r["seed"]: r["val_psnr"] for r in results[b]}
+        common = sorted(set(by_seed_a) & set(by_seed_b))
+        if len(common) < 2:
+            return
+        d = np.asarray([by_seed_a[s] - by_seed_b[s] for s in common])
+        se = float(d.std(ddof=1) / math.sqrt(len(d)))
+        try:
+            from scipy import stats
+
+            tq = float(stats.t.ppf(0.975, len(d) - 1))
+        except Exception:
+            tq = 1.96 + 2.4 / max(len(d) - 1, 1)
+        report[key] = {
+            "design": "paired (same torch init per seed in both arms)",
+            "seeds": common,
+            "per_seed_delta": d.tolist(),
+            "delta": float(d.mean()),
+            "ci95": [float(d.mean() - tq * se), float(d.mean() + tq * se)],
+            "ci95_half_width": float(tq * se),
+            "t": float(d.mean() / se) if se > 0 else None,
+        }
+
+    paired_delta("framework_paired", "reference", "delta_paired_coarse")
+    paired_delta("framework_paired_hier", "reference_hier", "delta_paired_hier")
+
     # merge real-torch gold anchors when available
     anchors = []
     if os.path.isdir(RUNS_DIR):
@@ -309,7 +372,7 @@ def main():
                     float(m.get("final_train_psnr", np.nan)
                           - a.get("train_psnr_tail", np.nan))),
             }
-    for extra in ("dead_rates", "equivalence"):
+    for extra in ("dead_rates", "equivalence", "equivalence_hier"):
         path = os.path.join(RUNS_DIR, f"{extra}.json")
         if os.path.isfile(path):
             with open(path) as f:
