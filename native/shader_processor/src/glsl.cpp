@@ -183,11 +183,20 @@ struct Token {
   double num = 0;
 };
 
+// function-like `#define F(a, b) body` macro: parameter names + body text
+struct FnMacro {
+  std::vector<std::string> params;
+  std::string body;
+};
+
 struct Lexer {
   const std::string& s;
   size_t i = 0;
   // object-like `#define NAME tokens` macros: substituted at the token level
   std::map<std::string, std::string>* defines = nullptr;
+  // function-like `#define F(x) ...` macros: expanded when the name is
+  // followed by '(' (C preprocessor rule: a bare F is left alone)
+  std::map<std::string, FnMacro>* fn_defines = nullptr;
 
   explicit Lexer(const std::string& src) : s(src) {}
 
@@ -222,7 +231,8 @@ struct Lexer {
         name = name.substr(1, name.size() - 2);
         trim(name);
       }
-      bool d = defines && defines->count(name);
+      bool d = (defines && defines->count(name)) ||
+               (fn_defines && fn_defines->count(name));
       return neg != d;
     }
     // macro indirection: NAME -> its body (one level), then integer
@@ -261,7 +271,8 @@ struct Lexer {
           size_t q = rest.find_last_not_of(" \t");
           std::string name =
               p == std::string::npos ? "" : rest.substr(p, q - p + 1);
-          bool d = defines && defines->count(name);
+          bool d = (defines && defines->count(name)) ||
+                   (fn_defines && fn_defines->count(name));
           c = (dir == "ifdef") ? d : !d;
         }
       }
@@ -294,12 +305,17 @@ struct Lexer {
     if (dir == "undef" && defines) {
       size_t p = rest.find_first_not_of(" \t");
       size_t q = rest.find_last_not_of(" \t");
-      if (p != std::string::npos) defines->erase(rest.substr(p, q - p + 1));
+      if (p != std::string::npos) {
+        std::string name = rest.substr(p, q - p + 1);
+        defines->erase(name);
+        if (fn_defines) fn_defines->erase(name);
+      }
       i = (line_end == std::string::npos) ? s.size() : line_end;
       return;
     }
     if (dir == "define" && defines) {
-      // #define NAME value-tokens   (function-like macros are rejected)
+      // #define NAME value-tokens  |  #define NAME(a, b) value-tokens
+      // (function-like iff '(' immediately follows the name, as in C)
       size_t p = k;
       while (p < line.size() && std::isspace((unsigned char)line[p])) ++p;
       size_t q = p;
@@ -308,9 +324,40 @@ struct Lexer {
       std::string name = line.substr(p, q - p);
       if (name.empty())
         throw EvalError("glsl: malformed #define");
-      if (q < line.size() && line[q] == '(')
-        throw EvalError("glsl: function-like macro '#define " + name +
-                        "(...)' is not supported (use a helper function)");
+      if (q < line.size() && line[q] == '(') {
+        FnMacro m;
+        ++q;  // past '('
+        for (;;) {
+          while (q < line.size() && std::isspace((unsigned char)line[q])) ++q;
+          // ')' only closes an EMPTY list here; after a ',' a name must follow
+          if (m.params.empty() && q < line.size() && line[q] == ')') {
+            ++q;
+            break;
+          }
+          size_t r = q;
+          while (r < line.size() &&
+                 (std::isalnum((unsigned char)line[r]) || line[r] == '_')) ++r;
+          if (r == q)
+            throw EvalError("glsl: malformed parameter list in '#define " +
+                            name + "(...)'");
+          m.params.push_back(line.substr(q, r - q));
+          q = r;
+          while (q < line.size() && std::isspace((unsigned char)line[q])) ++q;
+          if (q < line.size() && line[q] == ',') { ++q; continue; }
+          if (q < line.size() && line[q] == ')') { ++q; break; }
+          throw EvalError("glsl: malformed parameter list in '#define " +
+                          name + "(...)'");
+        }
+        while (q < line.size() && std::isspace((unsigned char)line[q])) ++q;
+        size_t e = line.size();
+        size_t cm2 = line.find("//", q);
+        if (cm2 != std::string::npos) e = cm2;
+        while (e > q && std::isspace((unsigned char)line[e - 1])) --e;
+        m.body = line.substr(q, e > q ? e - q : 0);
+        if (fn_defines) (*fn_defines)[name] = std::move(m);
+        i = (line_end == std::string::npos) ? s.size() : line_end;
+        return;
+      }
       while (q < line.size() && std::isspace((unsigned char)line[q])) ++q;
       size_t e = line.size();
       size_t cm = line.find("//", q);
@@ -351,21 +398,89 @@ struct Lexer {
 
   std::vector<Token> pending;  // queued macro-expansion tokens
 
-  Token next() {
+  Token fetch() {
     if (!pending.empty()) {
       Token t = std::move(pending.back());
       pending.pop_back();
       return t;
     }
-    Token t = raw_next();
-    if (t.kind == Tok::Ident && defines && defines->count(t.text)) {
-      std::vector<Token> toks;
-      expand_into(t.text, toks, 0);
-      if (toks.empty()) return next();  // macro with an empty body
-      for (size_t k = toks.size(); k-- > 1;) pending.push_back(std::move(toks[k]));
-      return toks[0];
+    return raw_next();
+  }
+
+  Token next() {
+    // loop so tokens produced by an expansion are themselves re-examined
+    // (macros can appear inside macro bodies and argument lists)
+    for (int spins = 0;; ++spins) {
+      if (spins > 4096)
+        throw EvalError("glsl: macro expansion does not terminate "
+                        "(self-referential #define?)");
+      Token t = fetch();
+      if (t.kind != Tok::Ident) return t;
+      if (fn_defines && fn_defines->count(t.text)) {
+        Token la = fetch();
+        if (la.kind == Tok::Punct && la.text == "(") {
+          expand_fn_macro(t.text);
+          continue;
+        }
+        pending.push_back(std::move(la));  // bare name: not a macro call
+        return t;
+      }
+      if (defines && defines->count(t.text)) {
+        std::vector<Token> toks;
+        expand_into(t.text, toks, 0);
+        for (size_t k = toks.size(); k-- > 0;) pending.push_back(std::move(toks[k]));
+        continue;
+      }
+      return t;
     }
-    return t;
+  }
+
+  // At this point the name and its '(' are consumed; read the argument
+  // tokens (balanced parens, top-level commas separate), substitute the
+  // parameters in the body, and queue the result for re-examination.
+  void expand_fn_macro(const std::string& name) {
+    const FnMacro& m = fn_defines->at(name);
+    std::vector<std::vector<Token>> args(1);
+    int depth = 1;
+    for (;;) {
+      Token t = fetch();
+      if (t.kind == Tok::End)
+        throw EvalError("glsl: unterminated argument list in macro '" +
+                        name + "(...)'");
+      if (t.kind == Tok::Punct && t.text == "(") ++depth;
+      if (t.kind == Tok::Punct && t.text == ")") {
+        if (--depth == 0) break;
+      }
+      if (t.kind == Tok::Punct && t.text == "," && depth == 1) {
+        args.emplace_back();
+        continue;
+      }
+      args.back().push_back(std::move(t));
+    }
+    if (args.size() == 1 && args[0].empty()) args.clear();  // `F()`
+    if (args.size() != m.params.size())
+      throw EvalError("glsl: macro '" + name + "' expects " +
+                      std::to_string(m.params.size()) + " arguments, got " +
+                      std::to_string(args.size()));
+    for (const auto& a : args)
+      if (a.empty())
+        throw EvalError("glsl: empty argument in macro '" + name + "(...)'");
+    std::vector<Token> out;
+    Lexer sub(m.body);  // raw body tokens; parameter idents spliced
+    for (Token x = sub.raw_next(); x.kind != Tok::End; x = sub.raw_next()) {
+      bool is_param = false;
+      if (x.kind == Tok::Ident) {
+        for (size_t k = 0; k < m.params.size(); ++k) {
+          if (m.params[k] == x.text) {
+            out.insert(out.end(), args[k].begin(), args[k].end());
+            is_param = true;
+            break;
+          }
+        }
+      }
+      if (!is_param) out.push_back(std::move(x));
+    }
+    for (size_t k = out.size(); k-- > 0;) pending.push_back(std::move(out[k]));
   }
 
   void expand_into(const std::string& name, std::vector<Token>& out, int depth) {
@@ -472,6 +587,11 @@ struct Shader {
   std::map<std::string, Val> consts;      // top-level `const TYPE n = expr;`
   std::map<std::string, std::vector<Val>> const_arrays;  // `const TYPE n[k] = TYPE[](...)`
   std::map<std::string, Func> functions;  // user-defined helper functions
+  // user struct types: name -> ordered (field type, field name) list.
+  // Instances live as dotted locals ("light.dir"), so field access/assign
+  // reuses the scalar/vec machinery unchanged.
+  std::map<std::string, std::vector<std::pair<std::string, std::string>>>
+      struct_types;
   std::string in_name;   // `in vec2 <name>` — the texcoord
   std::string out_name;  // `out vec4 <name>` — the fragment color
   std::vector<StmtP> body;
@@ -484,8 +604,11 @@ struct Parser {
   Token cur;
   int loop_depth = 0;  // for break/continue placement checks
   std::map<std::string, std::string> defines;  // #define NAME tokens
+  std::map<std::string, FnMacro> fn_defines;   // #define NAME(a, b) tokens
+  std::set<std::string> struct_names;          // user `struct` type names
   explicit Parser(const std::string& src) : lex(src) {
     lex.defines = &defines;
+    lex.fn_defines = &fn_defines;
     cur = lex.next();
   }
 
@@ -570,6 +693,35 @@ struct Parser {
           sh.consts[name] = cv;
           expect(";");
         }
+      } else if (is_ident("struct")) {
+        // struct Name { TYPE field; ... };  (instances are local variables;
+        // nested struct fields, samplers, and inline declarators error)
+        advance();
+        std::string name = expect_ident();
+        expect("{");
+        std::vector<std::pair<std::string, std::string>> fields;
+        while (!is_punct("}")) {
+          if (cur.kind == Tok::End) fail("unterminated struct '" + name + "'");
+          std::string ftype = expect_ident();
+          if (struct_names.count(ftype))
+            fail("nested struct fields are not supported (field of struct "
+                 "type '" + ftype + "' in '" + name + "')");
+          if (!is_type(ftype) || ftype == "sampler2D")
+            fail("bad struct field type '" + ftype + "' in '" + name + "'");
+          fields.emplace_back(ftype, expect_ident());
+          while (is_punct(",")) {  // float a, b;
+            advance();
+            fields.emplace_back(ftype, expect_ident());
+          }
+          expect(";");
+        }
+        expect("}");
+        if (!is_punct(";"))
+          fail("inline struct-instance declarators ('struct X {...} x;') "
+               "are not supported — declare the variable separately");
+        advance();
+        struct_names.insert(name);
+        sh.struct_types[name] = std::move(fields);
       } else if (is_ident("in") || is_ident("varying")) {
         advance();
         expect_ident();  // type
@@ -581,10 +733,15 @@ struct Parser {
         sh.out_name = expect_ident();
         expect(";");
       } else if (is_ident("void") ||
-                 (cur.kind == Tok::Ident && is_type(cur.text))) {
+                 (cur.kind == Tok::Ident &&
+                  (is_type(cur.text) || struct_names.count(cur.text)))) {
         // function definition: RET name(TYPE a, TYPE b, ...) { ... }
         // (user helper functions + the mandatory void main())
         std::string ret = expect_ident();
+        if (struct_names.count(ret))
+          fail("struct return values are not supported (function returning "
+               "'" + ret + "') — return components or use an out-style "
+               "assignment in the caller");
         std::string fn = expect_ident();
         expect("(");
         Func f;
@@ -593,7 +750,8 @@ struct Parser {
           if (cur.kind == Tok::End) fail("unterminated parameter list");
           if (is_ident("in") || is_ident("const")) advance();  // qualifiers
           std::string ptype = expect_ident();
-          if (!is_type(ptype)) fail("bad parameter type '" + ptype + "'");
+          if (!is_type(ptype) && !struct_names.count(ptype))
+            fail("bad parameter type '" + ptype + "'");
           f.param_types.push_back(ptype);
           f.param_names.push_back(expect_ident());
           if (is_punct("[")) {  // array parameter `float k[9]` (by value)
@@ -631,7 +789,8 @@ struct Parser {
   StmtP parse_simple_stmt() {
     auto st = std::make_unique<Stmt>();
     if (is_ident("const")) advance();  // const-ness is not enforced
-    if (cur.kind == Tok::Ident && is_type(cur.text)) {
+    if (cur.kind == Tok::Ident &&
+        (is_type(cur.text) || struct_names.count(cur.text))) {
       st->kind = Stmt::Decl;
       st->op = cur.text;  // declared type: "int" coerces the initializer
       advance();
@@ -663,6 +822,7 @@ struct Parser {
       // be processed twice (double-pushing the #if stack / re-#defining)
       auto save_cond = lex.cond_stack;
       auto save_defines = defines;
+      auto save_fn_defines = fn_defines;
       advance();
       if (is_punct("[")) {
         // element assignment: name[idx](.swz)? (=|+=|...|++|--) ...
@@ -697,8 +857,12 @@ struct Parser {
         return st;
       }
       std::string swz;
-      if (is_punct(".")) {
+      // dotted chain: `v.rgb = ...` (swizzle) or `light.dir.x = ...`
+      // (struct field + swizzle) — all but the last segment join the name,
+      // so struct fields resolve as the dotted locals they are stored as
+      while (is_punct(".")) {
         advance();
+        if (!swz.empty()) name += "." + swz;
         swz = expect_ident();
       }
       if (is_punct("++") || is_punct("--")) {
@@ -730,6 +894,7 @@ struct Parser {
       cur = save_cur;
       lex.cond_stack = std::move(save_cond);
       defines = std::move(save_defines);
+      fn_defines = std::move(save_fn_defines);
     }
     st->kind = Stmt::ExprStmt;
     st->expr = parse_expr();
@@ -1001,6 +1166,10 @@ struct Interp {
   std::map<std::string, Val> locals;    // per-pixel
   std::map<std::string, std::vector<Val>> arrays;        // per-pixel locals
   std::map<std::string, std::vector<Val>> const_arrays;  // top-level consts
+  // struct instances: variable name -> struct type.  Fields are stored as
+  // dotted locals ("light.dir"); this registry exists for declarations,
+  // whole-instance copies, and by-value parameter passing.
+  std::map<std::string, std::string> struct_locals;
   bool returned = false;
   bool broke = false;                   // break: unwinds to the nearest loop
   bool continued = false;               // continue: skips to the next iter
@@ -1048,6 +1217,25 @@ struct Interp {
     return nullptr;
   }
 
+  // zero value of a declared field type (float/int/bool/vecN/ivecN/bvecN/matN)
+  static Val zero_of(const std::string& type) {
+    Val v;
+    if (type == "int") {
+      v.is_int = true;
+    } else if (type.rfind("vec", 0) == 0) {
+      v.n = type[type.size() - 1] - '0';
+    } else if (type.rfind("ivec", 0) == 0) {
+      v.n = type[type.size() - 1] - '0';
+      v.is_int = true;
+    } else if (type.rfind("bvec", 0) == 0) {
+      v.n = type[type.size() - 1] - '0';
+    } else if (type.rfind("mat", 0) == 0) {
+      v.mat = type[type.size() - 1] - '0';
+      v.n = v.mat;
+    }
+    return v;
+  }
+
   // mutable=true restricts the search to per-pixel locals (const arrays are
   // not assignable)
   std::vector<Val>* lookup_arr(const std::string& name, bool mutable_only = false) {
@@ -1090,11 +1278,19 @@ struct Interp {
         if (!v) {
           if (samplers.count(e.name))
             throw EvalError("sampler '" + e.name + "' used outside texture()");
+          if (struct_locals.count(e.name))
+            throw EvalError("struct instance '" + e.name + "' cannot be "
+                            "used as a value here (access its fields)");
           throw EvalError("undefined variable '" + e.name + "'");
         }
         return *v;
       }
       case Expr::Member: {
+        // struct field read: `light.dir` resolves the dotted local directly
+        // (chains like light.dir.x swizzle the field value below)
+        if (e.args[0]->kind == Expr::Var) {
+          if (Val* f = lookup(e.args[0]->name + "." + e.name)) return *f;
+        }
         Val base = eval(*e.args[0]);
         if (base.mat)
           throw EvalError("cannot swizzle a matrix (index columns with [i])");
@@ -1183,6 +1379,9 @@ struct Interp {
     // mirroring GLSL's permission to overload builtins
     auto fit = sh.functions.find(fn);
     if (fit != sh.functions.end()) return call_user(fit->second, e);
+    if (sh.struct_types.count(fn))
+      throw EvalError("struct constructor '" + fn + "(...)' is only "
+                      "supported as a variable initializer");
     if (fn == "__length") {  // arr.length() / vec.length()
       const Expr& base = *e.args[0];
       if (base.kind == Expr::Var)
@@ -1401,6 +1600,39 @@ struct Interp {
     throw EvalError("unsupported function '" + fn + "'");
   }
 
+  // `Light l;` / `Light l = Light(dir, power);` / `Light l2 = l;`
+  void exec_struct_decl(const Stmt& st) {
+    const auto& fields = sh.struct_types.at(st.op);
+    if (!st.expr) {
+      for (const auto& fld : fields)
+        locals[st.name + "." + fld.second] = zero_of(fld.first);
+    } else if (st.expr->kind == Expr::Call && st.expr->name == st.op) {
+      if (st.expr->args.size() != fields.size())
+        throw EvalError("constructor " + st.op + "(...) expects " +
+                        std::to_string(fields.size()) + " arguments, got " +
+                        std::to_string(st.expr->args.size()));
+      for (size_t i = 0; i < fields.size(); ++i) {
+        Val fv = eval(*st.expr->args[i]);
+        coerce_to_type(fv, fields[i].first);
+        locals[st.name + "." + fields[i].second] = fv;
+      }
+    } else if (st.expr->kind == Expr::Var &&
+               struct_locals.count(st.expr->name)) {
+      if (struct_locals.at(st.expr->name) != st.op)
+        throw EvalError("cannot initialize '" + st.op + " " + st.name +
+                        "' from a '" + struct_locals.at(st.expr->name) +
+                        "' instance");
+      for (const auto& fld : fields)
+        locals[st.name + "." + fld.second] =
+            locals.at(st.expr->name + "." + fld.second);
+    } else {
+      throw EvalError("a struct variable must be initialized with a " +
+                      st.op + "(...) constructor or another " + st.op +
+                      " instance");
+    }
+    struct_locals[st.name] = st.op;
+  }
+
   Val call_user(const Func& f, const Expr& e) {
     if (e.args.size() != f.param_names.size())
       throw EvalError("function '" + e.name + "' expects " +
@@ -1416,8 +1648,25 @@ struct Interp {
     // array-parameter semantics).
     std::vector<Val> argv(e.args.size());
     std::map<std::string, std::vector<Val>> arr_args;
+    // struct arguments pass by value like arrays: the caller instance's
+    // fields are copied under the parameter's name in the callee scope
+    std::map<std::string, Val> struct_fields;
+    std::map<std::string, std::string> struct_args;
     for (size_t i = 0; i < e.args.size(); ++i) {
       const Expr& a = *e.args[i];
+      const std::string& pty =
+          i < f.param_types.size() ? f.param_types[i] : std::string();
+      if (sh.struct_types.count(pty)) {
+        if (a.kind != Expr::Var || !struct_locals.count(a.name) ||
+            struct_locals.at(a.name) != pty)
+          throw EvalError("argument " + std::to_string(i + 1) + " of '" +
+                          e.name + "' must be a '" + pty + "' instance");
+        for (const auto& fld : sh.struct_types.at(pty))
+          struct_fields[f.param_names[i] + "." + fld.second] =
+              locals.at(a.name + "." + fld.second);
+        struct_args[f.param_names[i]] = pty;
+        continue;
+      }
       if (a.kind == Expr::Var) {
         if (std::vector<Val>* arr = lookup_arr(a.name)) {
           arr_args[f.param_names[i]] = *arr;
@@ -1427,16 +1676,22 @@ struct Interp {
       argv[i] = eval(a);
       // bind with the declared parameter type's semantics: third(1) with
       // `float third(float x)` converts the int 1 to float at the call
-      if (i < f.param_types.size()) coerce_to_type(argv[i], f.param_types[i]);
+      coerce_to_type(argv[i], pty);
     }
     std::map<std::string, Val> saved_locals;
     saved_locals.swap(locals);
     std::map<std::string, std::vector<Val>> saved_arrays;
     saved_arrays.swap(arrays);
+    std::map<std::string, std::string> saved_structs;
+    saved_structs.swap(struct_locals);
     bool saved_returned = returned;
     for (size_t i = 0; i < argv.size(); ++i)
-      if (!arr_args.count(f.param_names[i])) locals[f.param_names[i]] = argv[i];
+      if (!arr_args.count(f.param_names[i]) &&
+          !struct_args.count(f.param_names[i]))
+        locals[f.param_names[i]] = argv[i];
     arrays.swap(arr_args);
+    locals.insert(struct_fields.begin(), struct_fields.end());
+    struct_locals.swap(struct_args);
     returned = false;
     ret_val = Val{};
     exec(f.body);
@@ -1445,6 +1700,7 @@ struct Interp {
       throw EvalError("function '" + e.name + "' ended without a return");
     locals.swap(saved_locals);
     arrays.swap(saved_arrays);
+    struct_locals.swap(saved_structs);
     returned = saved_returned;
     --call_depth;
     return result;
@@ -1462,6 +1718,10 @@ struct Interp {
     {
       switch (st->kind) {
         case Stmt::Decl: {
+          if (sh.struct_types.count(st->op)) {
+            exec_struct_decl(*st);
+            break;
+          }
           Val v = st->expr ? eval(*st->expr) : Val{};
           // declared type coerces (GLSL: int i = ..., ivec2 ts = ...,
           // float f = 1 makes the 1 a float)
@@ -1470,6 +1730,9 @@ struct Interp {
           break;
         }
         case Stmt::DeclArr: {
+          if (sh.struct_types.count(st->op))
+            throw EvalError("arrays of structs are not supported ('" +
+                            st->op + " " + st->name + "[...]')");
           std::vector<Val> vals;
           vals.reserve(st->elems.size());
           for (const auto& el : st->elems) {
@@ -1491,6 +1754,43 @@ struct Interp {
           break;
         }
         case Stmt::Assign: {
+          // struct whole-field target: `light.dir = ...` parses as
+          // name=light, swizzle=dir — when that dotted local exists, assign
+          // the field as a whole (with the declared field type's coercion)
+          if (!st->index && !st->swizzle.empty()) {
+            auto fit = locals.find(st->name + "." + st->swizzle);
+            if (fit != locals.end() && struct_locals.count(st->name)) {
+              Val rhs = eval(*st->expr);
+              if (st->op == "=") {
+                fit->second = rhs;
+              } else {
+                fit->second = arith(fit->second, rhs,
+                                    std::string(1, st->op[0]));
+              }
+              const auto& fields =
+                  sh.struct_types.at(struct_locals.at(st->name));
+              for (const auto& fld : fields)
+                if (fld.second == st->swizzle)
+                  coerce_to_type(fit->second, fld.first);
+              break;
+            }
+          }
+          // whole-instance copy: `l2 = l;` (both declared struct instances)
+          if (!st->index && st->swizzle.empty() &&
+              struct_locals.count(st->name)) {
+            if (st->op != "=" || st->expr->kind != Expr::Var ||
+                !struct_locals.count(st->expr->name) ||
+                struct_locals.at(st->expr->name) !=
+                    struct_locals.at(st->name))
+              throw EvalError("a struct instance can only be assigned from "
+                              "another instance of the same type");
+            const auto& fields =
+                sh.struct_types.at(struct_locals.at(st->name));
+            for (const auto& fld : fields)
+              locals[st->name + "." + fld.second] =
+                  locals.at(st->expr->name + "." + fld.second);
+            break;
+          }
           Val rhs = eval(*st->expr);
           if (st->index) {  // element target: name[idx](.swz)? op= rhs
             std::vector<Val>* arr = lookup_arr(st->name, /*mutable_only=*/true);
@@ -1707,6 +2007,7 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
       for (int x = 0; x < rgb.width; ++x) {
         in.locals.clear();
         in.arrays.clear();
+        in.struct_locals.clear();
         in.returned = false;
         Val uv;
         uv.n = 2;

@@ -16,11 +16,16 @@
 // (`float k[9] = float[](...)`, element read/assign, `.length()`, dynamic
 // vec component indexing `v[i]`, top-level const arrays), object-like
 // `#define NAME value` macros (token substitution; `#version` et al are
-// ignored), preprocessor conditionals (`#ifdef`/`#ifndef`/`#else`/`#endif`,
+// ignored), function-like `#define F(a, b) body` macros (C rules: expanded
+// only when followed by '(', arguments nest, bare names left alone),
+// preprocessor conditionals (`#ifdef`/`#ifndef`/`#else`/`#endif`,
 // `#if`/`#elif` with 0/1, numeric-macro, or defined(NAME) conditions,
-// `#undef`), and assignment to the declared `out vec4` variable.
-// Unsupported constructs (structs, function-like macros, richer `#if`
-// expressions) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
+// `#undef`), user `struct` types (definition, constructor initializer,
+// field read/write incl. swizzled components and compound ops, instance
+// copy/assign, by-value struct function parameters), and assignment to the
+// declared `out vec4` variable.  Unsupported constructs (struct return
+// values, nested/array-of structs, richer `#if` expressions) fail with a
+// parse error naming them.  Int literals, int() casts, and `int`-declared variables
 // carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
 // and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
 // int-ness, and declared types coerce (float k = 1, float[](1, 2), float

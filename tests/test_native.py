@@ -741,8 +741,12 @@ void main() {
 
 
 @pytest.mark.parametrize("src,needle", [
-    ("#define SQ(x) ((x)*(x))\nvoid main() { gl_FragColor = vec4(SQ(0.5)); }",
-     "function-like macro"),
+    ("#define SQ(x) ((x)*(x))\nvoid main() { gl_FragColor = vec4(SQ()); }",
+     "expects 1 arguments"),
+    ("#define F(x) F(x)\nvoid main() { gl_FragColor = vec4(F(1.0)); }",
+     "does not terminate"),
+    ("#define G(a,) a\nvoid main() { gl_FragColor = vec4(G(1.0)); }",
+     "malformed parameter list"),
     ("#if 1\nvoid main() { gl_FragColor = vec4(1.0); }",
      "unterminated #if"),
     ("#endif\nvoid main() { gl_FragColor = vec4(1.0); }",
@@ -758,6 +762,106 @@ def test_glsl_preprocessor_errors_are_loud(io_dir, tmp_path, src, needle):
     frag.write_text(src)
     r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
               "--output", str(td / "pp.png")])
+    assert r.returncode != 0
+    assert needle in r.stderr
+
+
+def test_glsl_function_like_macros(io_dir, tmp_path):
+    """#define F(x) body macros (VERDICT r3 item 7): parameter substitution,
+    nesting (macro calls in arguments and in bodies), multi-parameter
+    macros, and the C rule that a bare macro name not followed by '(' is
+    left alone."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "fnmac.frag"
+    frag.write_text("""
+#define CLAMP01(x) clamp(x, 0.0, 1.0)
+#define SQR(x) ((x) * (x))
+#define LERP(a, b, t) ((a) + ((b) - (a)) * (t))
+#define PI 3.0
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    float a = CLAMP01(1.7);              // 1.0
+    float b = SQR(0.5);                  // 0.25
+    float c = SQR(1.0 + 1.0);           // 4.0 (argument parenthesized)
+    float d = LERP(0.0, PI, SQR(0.5));  // nested macro args: 0.75
+    float e = CLAMP01(SQR(2.0));        // macro-in-macro: 1.0
+    float SQR = 0.5;                     // C rule: bare macro name not
+    float f = SQR + 0.25;                // followed by '(' is left alone
+    float ok = step(abs(a - 1.0) + abs(b - 0.25) + abs(c - 4.0)
+                    + abs(d - 0.75) + abs(e - 1.0) + abs(f - 0.75), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "fm.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "fm.png"), rgb, atol=1)
+
+
+def test_glsl_structs(io_dir, tmp_path):
+    """struct types (VERDICT r3 item 7): definition, constructor, field
+    read/write incl. compound ops and swizzled field components, instance
+    copies (independent), and by-value struct function parameters."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "structs.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light {
+    vec3 dir;
+    float power;
+    int kind;
+};
+float shade(Light l, float base) {
+    return base * l.power + float(l.kind);
+}
+void main() {
+    Light l = Light(vec3(1.0, 0.0, 0.0), 0.5, 1);
+    l.power += 0.25;             // whole-field compound assign -> 0.75
+    l.dir.y = 2.0;               // swizzled component of a field
+    l.dir.x -= 0.5;              // compound swizzle write -> 0.5
+    Light l2 = l;                // by-value copy
+    l2.power = 0.1;              // copy is independent of the original
+    Light l3;                    // default init: zeros
+    l3 = l2;                     // whole-instance assignment
+    float s = shade(l, 2.0);     // 2*0.75 + 1 = 2.5 (by-value param)
+    float ok = step(abs(l.power - 0.75) + abs(l.dir.y - 2.0)
+                    + abs(l.dir.x - 0.5) + abs(l2.power - 0.1)
+                    + abs(l3.power - 0.1) + abs(s - 2.5), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "st.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "st.png"), rgb, atol=1)
+
+
+@pytest.mark.parametrize("src,needle", [
+    ("struct A { float x; };\nA make() { A a; return a; }\nvoid main() {}",
+     "struct return values are not supported"),
+    ("struct A { float x; };\nstruct B { A inner; };\nvoid main() {}",
+     "nested struct fields are not supported"),
+    ("struct A { float x; };\nvoid main() { A k[2]; }",
+     "arrays of structs are not supported"),
+    ("struct A { float x; };\nvoid main() { A a; FragColor = vec4(a); }",
+     "cannot be used as a value"),
+    ("struct A { float x; };\nvoid main() { A a = 1.0; }",
+     "must be initialized with"),
+    ("struct A { float x; };\nvoid main() { A a = A(1.0, 2.0); }",
+     "expects 1 arguments"),
+    ("struct A { sampler2D t; };\nvoid main() {}",
+     "bad struct field type"),
+])
+def test_glsl_struct_errors_are_loud(io_dir, tmp_path, src, needle):
+    td, _, _ = io_dir
+    frag = tmp_path / "se.frag"
+    frag.write_text("out vec4 FragColor;\n" + src)
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "se.png")])
     assert r.returncode != 0
     assert needle in r.stderr
 
