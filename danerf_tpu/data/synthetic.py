@@ -66,10 +66,65 @@ def _render_gt(c2w: np.ndarray, H: int, W: int, focal: float,
     return rgb_map, acc
 
 
+def _render_gt_jax(c2w: np.ndarray, H: int, W: int, focal: float,
+                   near: float, far: float, n_samples: int, seed: int,
+                   row_chunk: int = 100):
+    """Device-accelerated ground-truth render: the same analytic field and
+    compositing math as ``_render_gt``, in f32 jax.numpy, chunked over image
+    rows so 800x800x192-sample views fit comfortably in HBM.  Used by the
+    full-scale study (examples/full_scale.py) where the NumPy path would take
+    ~1 min/view on this host; agreement with the NumPy path is pinned in
+    tests/test_data.py."""
+    import jax
+    import jax.numpy as jnp
+
+    centers, radii, dens, colors = _blob_field(seed)
+    centers = jnp.asarray(centers, jnp.float32)
+    inv_two_r2 = jnp.asarray(1.0 / (2 * radii ** 2), jnp.float32)
+    dens = jnp.asarray(dens, jnp.float32)
+    colors = jnp.asarray(colors, jnp.float32)
+    z = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
+    dists = jnp.concatenate([jnp.diff(z), jnp.asarray([1e-3], jnp.float32)])
+
+    @jax.jit
+    def render_rows(i0, c2w_):
+        i = i0 + jnp.arange(row_chunk, dtype=jnp.float32)[:, None]
+        j = jnp.arange(W, dtype=jnp.float32)[None, :]
+        i = jnp.broadcast_to(i, (row_chunk, W))
+        j = jnp.broadcast_to(j, (row_chunk, W))
+        dirs = jnp.stack([(j - W * 0.5) / focal, -(i - H * 0.5) / focal,
+                          -jnp.ones_like(i)], axis=-1)
+        dirs = jnp.sum(dirs[..., None, :] * c2w_[:3, :3], axis=-1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        pts = c2w_[:3, 3] + dirs[..., None, :] * z[:, None]      # (r,W,S,3)
+        d2 = jnp.sum((pts[..., None, :] - centers) ** 2, axis=-1)
+        w = dens * jnp.exp(-d2 * inv_two_r2)
+        sigma = jnp.sum(w, axis=-1)
+        rgb = jnp.sum(w[..., None] * colors, axis=-2) / (sigma[..., None] + 1e-8)
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+        alpha = 1.0 - jnp.exp(-sigma * dists)
+        trans = jnp.cumprod(
+            jnp.concatenate([jnp.ones_like(alpha[..., :1]),
+                             1.0 - alpha + 1e-10], axis=-1), axis=-1)[..., :-1]
+        weights = alpha * trans
+        return jnp.sum(weights[..., None] * rgb, axis=-2), jnp.sum(weights, -1)
+
+    # largest divisor of H not exceeding the requested chunk (one compile)
+    row_chunk = max(d for d in range(1, min(row_chunk, H) + 1) if H % d == 0)
+    c2w_j = jnp.asarray(c2w, jnp.float32)
+    rgb_rows, acc_rows = [], []
+    for i0 in range(0, H, row_chunk):
+        r, a = render_rows(jnp.float32(i0), c2w_j)
+        rgb_rows.append(np.asarray(r))
+        acc_rows.append(np.asarray(a))
+    return np.concatenate(rgb_rows), np.concatenate(acc_rows)
+
+
 def make_synthetic_scene(split: str = "train", n_images: int | None = None,
                          height: int = 100, width: int = 100,
                          near: float = 2.0, far: float = 6.0,
-                         n_samples: int = 192, seed: int = 0) -> RayDataset:
+                         n_samples: int = 192, seed: int = 0,
+                         backend: str = "numpy") -> RayDataset:
     """Build a RayDataset of ground-truth renders from poses on a sphere.
 
     Pose layout mirrors the reference's circular camera paths at radius 4
@@ -95,8 +150,9 @@ def make_synthetic_scene(split: str = "train", n_images: int | None = None,
                         radius * np.sin(phi),
                         radius * np.cos(phi) * np.cos(theta)])
         c2w = look_at_c2w(pos, np.zeros(3), np.array([0.0, 1.0, 0.0]))
-        rgb, acc = _render_gt(c2w.astype(np.float64), height, width, focal,
-                              near, far, n_samples, seed)
+        render = _render_gt_jax if backend == "jax" else _render_gt
+        rgb, acc = render(c2w.astype(np.float64), height, width, focal,
+                          near, far, n_samples, seed)
         images.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
         alphas.append((np.clip(acc, 0, 1) * 255).astype(np.uint8))
         c2ws.append(c2w)

@@ -124,3 +124,17 @@ def test_load_dataset_falls_back_to_synthetic(tmp_path):
     cfg = CFG.replace(dataset_path=str(tmp_path), scene="nonexistent")
     ds = load_dataset(cfg, "val")
     assert ds.n_images > 0
+
+
+def test_jax_gt_renderer_matches_numpy():
+    """The device GT path used by the full-scale study must produce the same
+    scene as the NumPy reference path (f32 vs f64 compositing tolerance)."""
+    from danerf_tpu.data.synthetic import make_synthetic_scene
+
+    a = make_synthetic_scene("val", n_images=2, height=48, width=48)
+    b = make_synthetic_scene("val", n_images=2, height=48, width=48,
+                             backend="jax")
+    np.testing.assert_array_equal(a.c2ws, b.c2ws)
+    # u8-quantized images: f32 rounding can flip a pixel by 1 count
+    assert np.abs(a.images.astype(int) - b.images.astype(int)).max() <= 1
+    assert np.abs(a.alphas.astype(int) - b.alphas.astype(int)).max() <= 1
