@@ -86,6 +86,13 @@ class NeRFConfig:
     # instead of the per-sample kernel + XLA compositing.  Requires
     # use_pallas; gradients verified equal to the core path in tests.
     use_fused_train: bool = True
+    # 2D (TR, S) composite inside the fused train kernel: the forward +
+    # backward compositing chain runs on dense rays-by-samples tensors
+    # (full 8-sublane occupancy per vreg) instead of (TR, 1, S) lane
+    # tensors that use 1 of 8 sublanes, and the cumsum/cotangent
+    # dot_generals become plain (TR,S)@(S,S) matmuls.  A/B on v5e:
+    # see BENCH_NOTES.md round 4.  Gradients verified equal in tests.
+    fused_composite2d: bool = True
     # Hierarchical training as ONE pallas_call per step: coarse march,
     # in-kernel inverse-CDF resampling, rank-merged fine stage, both MSE
     # terms, and the full backward share a VMEM tile — the coarse forward

@@ -57,17 +57,13 @@ from danerf_tpu.kernels.fused_mlp import (_COMPILER_PARAMS, _accumulate_grads,
 RENDER_TILE = int(os.environ.get("DANERF_PALLAS_RENDER_TILE", "4096"))
 
 
-def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
-                o, d, emb2, z, t, enc_consts, p, want_field: bool = False):
-    """Full ray march on one (TR rays, S samples) tile.
+def _field_on_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
+                   o, d, emb2, z, t, enc_consts, p):
+    """Encoding + MLP on one (TR rays, S samples) tile.
 
-    Returns (rgb_map (TR,1,3), depth (TR,1,1), acc (TR,1,1), w (TR,1,S), aux)
-    where aux carries everything the in-kernel backward needs.  With
-    ``want_field`` aux also holds "field" (TR, 4, S): the per-sample
-    [r, g, b, sigma] values in lane layout, consumed by the hierarchical
-    merged-composite kernel so the fine pass can reuse them instead of
-    re-evaluating the MLP at the coarse depths.
-    """
+    Returns (rgb (TR*S,3), sigma (TR*S,1), res, emb_flat) — the shared prefix
+    of the lane-layout march (_march_tile) and the 2D train composite
+    (_train_kernel)."""
     f32 = jnp.float32
     n_t = tr * s
     mp, pp, ip = enc_consts[0], enc_consts[1], enc_consts[2]
@@ -93,6 +89,23 @@ def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
     emb_flat = jnp.broadcast_to(
         emb2[:, None, :], (tr, s, emb2.shape[-1])).reshape(n_t, -1)
     rgb, sigma, res = _field_from_enc(cfg, enc_x, enc_d, emb_flat, p)
+    return rgb, sigma, res, emb_flat
+
+
+def _march_tile(cfg: NeRFConfig, has_time: bool, tr: int, s: int,
+                o, d, emb2, z, t, enc_consts, p, want_field: bool = False):
+    """Full ray march on one (TR rays, S samples) tile.
+
+    Returns (rgb_map (TR,1,3), depth (TR,1,1), acc (TR,1,1), w (TR,1,S), aux)
+    where aux carries everything the in-kernel backward needs.  With
+    ``want_field`` aux also holds "field" (TR, 4, S): the per-sample
+    [r, g, b, sigma] values in lane layout, consumed by the hierarchical
+    merged-composite kernel so the fine pass can reuse them instead of
+    re-evaluating the MLP at the coarse depths.
+    """
+    f32 = jnp.float32
+    rgb, sigma, res, emb_flat = _field_on_tile(
+        cfg, has_time, tr, s, o, d, emb2, z, t, enc_consts, p)
 
     # ---- compositing in (TR, 1, S) lane layout ----------------------------
     # sigma (N,1) -> (TR,S,1) is a free leading-dim split; the move of S into
@@ -448,36 +461,96 @@ def _train_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
 
     f32 = jnp.float32
     n_t = tr * s
-
-    rgb_map, depth, acc, w, aux = _march_tile(
-        cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
-        enc_consts, p)
-    rgb, alpha, trans = aux["rgb"], aux["alpha"], aux["trans"]
-    z_l, dists = aux["z_l"], aux["dists"]
-
-    # Padded rays contribute nothing: mask by global ray index.
-    idx = (pl.program_id(0) * tr
-           + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
-    mask = (idx < n_real).astype(f32)
-
     inv_denom = 1.0 / (n_real * 3.0)
-    diff = (rgb_map - tgt_ref[:][:, None, :]) * mask      # (TR, 1, 3)
-    loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
-    g_rgbmap = (2.0 * inv_denom) * diff
 
-    zero1 = jnp.zeros((tr, 1, 1), f32)
-    eye = jnp.eye(s, dtype=f32)
-    rgb_l = jax.lax.dot_general(
-        rgb.reshape(tr, s, 3), eye,
-        dimension_numbers=(((1,), (0,)), ((), ())))       # (TR, 3, S)
-    g_rgb_l, g_sigma_l = _composite_bwd_lanes(
-        tr, s, g_rgbmap, zero1, zero1, jnp.zeros((tr, 1, s), f32),
-        rgb_l, w, alpha, trans, z_l, dists, depth, acc)
+    if cfg.fused_composite2d:
+        # Dense (TR, S) composite chain: the transcendental/elementwise ops
+        # fill all 8 sublanes per vreg (the (TR,1,S) layout uses 1 of 8) and
+        # the cumsum + its transpose are plain (TR,S)@(S,S) matmuls.  The
+        # per-ray rgb contractions stay in (TR,1,S) lane layout (Mosaic
+        # requires a non-empty lhs free dim), and the train loss needs
+        # neither depth nor acc so they are never computed.
+        rgb, sigma, res, emb_flat = _field_on_tile(
+            cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:],
+            t, enc_consts, p)
+        eye = jnp.eye(s, dtype=f32)
+        # sublane->lane move of sigma via the MXU, then drop the unit dim
+        sig2 = jax.lax.dot_general(
+            sigma.reshape(tr, s, 1), eye,
+            dimension_numbers=(((1,), (0,)), ((), ()))).reshape(tr, s)
+        z2 = z_ref[:]                                     # (TR, S) lane-dense
+        dists2 = jnp.concatenate(
+            [z2[:, 1:] - z2[:, :-1], jnp.full((tr, 1), 1e-3, f32)], axis=-1)
+        alpha2 = 1.0 - jnp.exp(-sig2 * dists2)
+        triu = jnp.triu(jnp.ones((s, s), f32), k=1)
+        log_t2 = jnp.dot(jnp.log(1.0 - alpha2 + 1e-10), triu,
+                         preferred_element_type=f32)
+        trans2 = jnp.exp(log_t2)
+        w2 = alpha2 * trans2                              # (TR, S)
 
-    g_sigma_flat = jnp.swapaxes(g_sigma_l, 1, 2).reshape(n_t, 1)
-    g_rgb_flat = jnp.swapaxes(g_rgb_l, 1, 2).reshape(n_t, 3)
+        w_l = w2[:, None, :]                              # (TR, 1, S)
+        rgb3 = rgb.reshape(tr, s, 3)
+        rgb_map = jax.lax.dot_general(
+            w_l, rgb3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))))   # (TR, 1, 3)
+
+        idx = (pl.program_id(0) * tr
+               + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+        diff = (rgb_map - tgt_ref[:][:, None, :]) * (idx < n_real).astype(f32)
+        loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
+        g_rgbmap = (2.0 * inv_denom) * diff               # (TR, 1, 3)
+
+        rgb_l = jax.lax.dot_general(
+            rgb3, eye,
+            dimension_numbers=(((1,), (0,)), ((), ())))   # (TR, 3, S)
+        g_w2 = jax.lax.dot_general(
+            g_rgbmap, rgb_l,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,)))).reshape(tr, s)
+        # transpose of the chain in dense (TR, S)
+        g_alpha2 = g_w2 * trans2
+        tril = jnp.tril(jnp.ones((s, s), f32), k=-1)
+        g_log2 = jnp.dot(g_w2 * alpha2 * trans2, tril,
+                         preferred_element_type=f32)
+        g_alpha2 = g_alpha2 - g_log2 / (1.0 - alpha2 + 1e-10)
+        g_sigma2 = g_alpha2 * (1.0 - alpha2) * dists2     # (TR, S)
+
+        # back through lane layout for the flat (N,1) store (Mosaic has no
+        # direct (TR,S)->(TR*S,1) shape cast)
+        g_sigma_flat = jnp.swapaxes(
+            g_sigma2[:, None, :], 1, 2).reshape(n_t, 1)
+        g_rgb_l = jnp.swapaxes(g_rgbmap, 1, 2) * w_l      # (TR, 3, S)
+        g_rgb_flat = jnp.swapaxes(g_rgb_l, 1, 2).reshape(n_t, 3)
+    else:
+        rgb_map, depth, acc, w, aux = _march_tile(
+            cfg, has_time, tr, s, o_ref[:], d_ref[:], emb_ref[:], z_ref[:], t,
+            enc_consts, p)
+        rgb, alpha, trans = aux["rgb"], aux["alpha"], aux["trans"]
+        z_l, dists = aux["z_l"], aux["dists"]
+        res, emb_flat = aux["res"], aux["emb_flat"]
+
+        # Padded rays contribute nothing: mask by global ray index.
+        idx = (pl.program_id(0) * tr
+               + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+        mask = (idx < n_real).astype(f32)
+
+        diff = (rgb_map - tgt_ref[:][:, None, :]) * mask  # (TR, 1, 3)
+        loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
+        g_rgbmap = (2.0 * inv_denom) * diff
+
+        zero1 = jnp.zeros((tr, 1, 1), f32)
+        eye = jnp.eye(s, dtype=f32)
+        rgb_l = jax.lax.dot_general(
+            rgb.reshape(tr, s, 3), eye,
+            dimension_numbers=(((1,), (0,)), ((), ())))   # (TR, 3, S)
+        g_rgb_l, g_sigma_l = _composite_bwd_lanes(
+            tr, s, g_rgbmap, zero1, zero1, jnp.zeros((tr, 1, s), f32),
+            rgb_l, w, alpha, trans, z_l, dists, depth, acc)
+
+        g_sigma_flat = jnp.swapaxes(g_sigma_l, 1, 2).reshape(n_t, 1)
+        g_rgb_flat = jnp.swapaxes(g_rgb_l, 1, 2).reshape(n_t, 3)
+
     grads, demb_flat = _field_bwd_from_res(
-        cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
+        cfg, n_params, p, res, emb_flat, g_rgb_flat, g_sigma_flat)
     demb_ref[:] = jnp.sum(demb_flat.reshape(tr, s, -1), axis=1)
     _accumulate_grads(dparam_refs + [loss_ref], grads + [loss_part])
 
