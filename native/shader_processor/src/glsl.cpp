@@ -208,42 +208,186 @@ struct Lexer {
     return true;
   }
 
-  // evaluate a #if / #elif condition: `0`/`1`/integer, `defined(NAME)`,
-  // `!defined(NAME)`, or a macro name that expands to an integer.
-  // Anything richer errors loudly rather than guessing.
-  bool eval_condition(std::string cond) {
-    auto trim = [](std::string& t) {
-      size_t a = t.find_first_not_of(" \t");
-      size_t b = t.find_last_not_of(" \t");
-      t = a == std::string::npos ? "" : t.substr(a, b - a + 1);
-    };
-    trim(cond);
-    bool neg = false;
-    if (!cond.empty() && cond[0] == '!') {
-      neg = true;
-      cond = cond.substr(1);
-      trim(cond);
+  // evaluate a #if / #elif condition with C-preprocessor semantics:
+  // integer constant expressions over literals, (object-like) macro
+  // expansion, defined(NAME), !, unary -, * / %, + -, comparisons,
+  // == !=, && ||, parentheses.  Undefined identifiers evaluate to 0
+  // (ISO C 6.10.1, which is what a real GL compiler's preprocessor does);
+  // malformed syntax still errors loudly.
+  struct CondParser {
+    const std::string& s;
+    size_t i = 0;
+    const Lexer* lx;
+    int* depth;  // shared across nested macro-body parsers (recursion guard)
+    CondParser(const std::string& str, const Lexer* l, int* d)
+        : s(str), lx(l), depth(d) {}
+
+    [[noreturn]] void fail(const std::string& m) {
+      throw EvalError("glsl: bad #if condition '" + s + "': " + m);
     }
-    if (cond.rfind("defined", 0) == 0) {
-      std::string name = cond.substr(7);
-      trim(name);
-      if (!name.empty() && name.front() == '(' && name.back() == ')') {
-        name = name.substr(1, name.size() - 2);
-        trim(name);
+    void ws() { while (i < s.size() && std::isspace((unsigned char)s[i])) ++i; }
+    bool eat(const char* tok) {
+      ws();
+      size_t n = std::strlen(tok);
+      if (s.compare(i, n, tok) == 0) {
+        // don't split "<=" into "<" etc. — longest tokens tried first below
+        i += n;
+        return true;
       }
-      bool d = (defines && defines->count(name)) ||
-               (fn_defines && fn_defines->count(name));
-      return neg != d;
+      return false;
     }
-    // macro indirection: NAME -> its body (one level), then integer
-    if (defines && defines->count(cond)) cond = defines->at(cond);
-    trim(cond);
-    char* end = nullptr;
-    long x = std::strtol(cond.c_str(), &end, 0);
-    if (end == cond.c_str() || (end && *end != '\0'))
-      throw EvalError("glsl: unsupported #if condition '" + cond +
-                      "' (use 0/1, a numeric macro, or defined(NAME))");
-    return neg != (x != 0);
+    bool is_defined(const std::string& name) const {
+      return (lx->defines && lx->defines->count(name)) ||
+             (lx->fn_defines && lx->fn_defines->count(name));
+    }
+    std::string ident() {
+      ws();
+      size_t j = i;
+      while (j < s.size() &&
+             (std::isalnum((unsigned char)s[j]) || s[j] == '_')) ++j;
+      std::string name = s.substr(i, j - i);
+      i = j;
+      return name;
+    }
+    long primary() {
+      if (++*depth > 64) fail("expression too deep (recursive #define?)");
+      ws();
+      if (i >= s.size()) fail("unexpected end");
+      long v;
+      if (eat("!")) { v = !primary(); --*depth; return v; }
+      if (eat("(")) {
+        v = or_();
+        if (!eat(")")) fail("missing ')'");
+        --*depth;
+        return v;
+      }
+      char c = s[i];
+      if (c == '-') { ++i; v = -primary(); --*depth; return v; }
+      if (std::isdigit((unsigned char)c)) {
+        char* end = nullptr;
+        v = std::strtol(s.c_str() + i, &end, 0);
+        i = end - s.c_str();
+        --*depth;
+        return v;
+      }
+      if (std::isalpha((unsigned char)c) || c == '_') {
+        std::string name = ident();
+        if (name == "defined") {
+          bool paren = eat("(");
+          std::string n2 = ident();
+          if (n2.empty()) fail("defined() needs a name");
+          if (paren && !eat(")")) fail("missing ')' after defined");
+          --*depth;
+          return is_defined(n2) ? 1 : 0;
+        }
+        // object-macro indirection (depth-bounded across nested bodies),
+        // then the C rule: a remaining plain identifier evaluates to 0
+        if (lx->defines && lx->defines->count(name)) {
+          const std::string& body = lx->defines->at(name);
+          // self-reference is left unexpanded (blue paint), i.e. 0 in #if
+          CondParser probe(body, lx, depth);
+          probe.ws();
+          bool self = false;
+          if (probe.i < body.size() &&
+              (std::isalpha((unsigned char)body[probe.i]) ||
+               body[probe.i] == '_')) {
+            std::string inner = probe.ident();
+            probe.ws();
+            self = (inner == name && probe.i >= body.size());
+          }
+          if (!self) {
+            CondParser sub(body, lx, depth);
+            long r = sub.or_();
+            sub.ws();
+            if (sub.i < body.size()) sub.fail("trailing tokens");
+            --*depth;
+            return r;
+          }
+        }
+        --*depth;
+        return 0;
+      }
+      fail(std::string("unexpected '") + c + "'");
+    }
+    long mul() {
+      long v = primary();
+      for (;;) {
+        ws();
+        if (eat("*")) v *= primary();
+        else if (i < s.size() && s[i] == '/' &&
+                 (i + 1 >= s.size() || s[i + 1] != '/')) {
+          ++i;
+          long r = primary();
+          if (r == 0) fail("division by zero");
+          v /= r;
+        } else if (eat("%")) {
+          long r = primary();
+          if (r == 0) fail("modulo by zero");
+          v %= r;
+        } else {
+          return v;
+        }
+      }
+    }
+    long add() {
+      long v = mul();
+      for (;;) {
+        ws();
+        if (eat("+")) v += mul();
+        else if (eat("-")) v -= mul();
+        else return v;
+      }
+    }
+    long rel() {
+      long v = add();
+      for (;;) {
+        ws();
+        if (eat("<=")) v = v <= add();
+        else if (eat(">=")) v = v >= add();
+        // bare < and > must not consume the first char of <= / >= (already
+        // tried) nor of << / >> (unsupported: loud error via primary)
+        else if (i < s.size() && s[i] == '<') { ++i; v = v < add(); }
+        else if (i < s.size() && s[i] == '>') { ++i; v = v > add(); }
+        else return v;
+      }
+    }
+    long eq() {
+      long v = rel();
+      for (;;) {
+        ws();
+        if (eat("==")) v = v == rel();
+        else if (eat("!=")) v = v != rel();
+        else return v;
+      }
+    }
+    long and_() {
+      long v = eq();
+      while (true) {
+        ws();
+        if (!eat("&&")) return v;
+        long r = eq();
+        v = (v != 0 && r != 0) ? 1 : 0;
+      }
+    }
+    long or_() {
+      long v = and_();
+      while (true) {
+        ws();
+        if (!eat("||")) return v;
+        long r = and_();
+        v = (v != 0 || r != 0) ? 1 : 0;
+      }
+    }
+  };
+
+  bool eval_condition(std::string cond) {
+    int depth = 0;
+    CondParser p(cond, this, &depth);
+    long v = p.or_();
+    p.ws();
+    if (p.i < cond.size())
+      p.fail("trailing tokens");
+    return v != 0;
   }
 
   void handle_directive() {

@@ -19,13 +19,14 @@
 // ignored), function-like `#define F(a, b) body` macros (C rules: expanded
 // only when followed by '(', arguments nest, bare names left alone),
 // preprocessor conditionals (`#ifdef`/`#ifndef`/`#else`/`#endif`,
-// `#if`/`#elif` with 0/1, numeric-macro, or defined(NAME) conditions,
-// `#undef`), user `struct` types (definition, constructor initializer,
-// field read/write incl. swizzled components and compound ops, instance
-// copy/assign, by-value struct function parameters), and assignment to the
-// declared `out vec4` variable.  Unsupported constructs (struct return
-// values, nested/array-of structs, richer `#if` expressions) fail with a
-// parse error naming them.  Int literals, int() casts, and `int`-declared variables
+// `#if`/`#elif` with full C integer constant expressions — arithmetic,
+// comparisons, &&/||/!, defined(NAME), macro indirection, undefined
+// identifiers = 0 per ISO C 6.10.1 — and `#undef`), user `struct` types
+// (definition, constructor initializer, field read/write incl. swizzled
+// components and compound ops, instance copy/assign, by-value struct
+// function parameters), and assignment to the declared `out vec4`
+// variable.  Unsupported constructs (struct return values, nested/array-of
+// structs, bitwise `#if` operators) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
 // carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
 // and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
 // int-ness, and declared types coerce (float k = 1, float[](1, 2), float

@@ -751,8 +751,14 @@ void main() {
      "unterminated #if"),
     ("#endif\nvoid main() { gl_FragColor = vec4(1.0); }",
      "without a matching #if"),
-    ("#if FOO > 2\nvoid main() {}\n#endif",
-     "unsupported #if condition"),
+    ("#if 1 &&\nvoid main() {}\n#endif",
+     "bad #if condition"),
+    ("#if 3 & 1\nvoid main() {}\n#endif",
+     "bad #if condition"),
+    ("#define A B\n#define B A\n#if A\nvoid main() {}\n#endif",
+     "expression too deep"),
+    ("#if 1/0\nvoid main() {}\n#endif",
+     "division by zero"),
     ("#define A B\n#define B A\nvoid main() { gl_FragColor = vec4(A); }",
      "macro expansion too deep"),
 ])
@@ -1232,3 +1238,56 @@ void main() {
               "--output", str(td / "c2.png")])
     assert r.returncode == 0, r.stderr
     np.testing.assert_allclose(_read(td / "c2.png"), rgb, atol=1)
+
+
+def test_glsl_if_expression_conditions(io_dir, tmp_path):
+    """Rich #if expressions with C-preprocessor semantics: arithmetic,
+    comparisons, &&/||, defined(), macro indirection, and undefined
+    identifiers evaluating to 0 (ISO C 6.10.1) — closing the last
+    documented preprocessor delta vs a real GL compiler."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "ifexpr.frag"
+    frag.write_text("""
+#define QUALITY 3
+#define HALF (QUALITY / 2)
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    float gain = 1.0;
+#if QUALITY > 2
+    gain = gain * 1.0;          // taken: 3 > 2
+#else
+    gain = 0.0;
+#endif
+#if QUALITY * 2 - 1 == 5 && defined(QUALITY)
+    gain = gain * 1.0;          // taken: 6 - 1 == 5
+#else
+    gain = 0.0;
+#endif
+#if UNDEFINED_NAME
+    gain = 0.0;                 // skipped: undefined -> 0
+#endif
+#if UNDEFINED_NAME == 0 || QUALITY < 0
+    gain = gain * 1.0;          // taken: 0 == 0
+#else
+    gain = 0.0;
+#endif
+#if HALF == 1
+    gain = gain * 1.0;          // taken: macro body is an expression
+#else
+    gain = 0.0;
+#endif
+#if !(QUALITY >= 10)
+    gain = gain * 1.0;          // taken
+#else
+    gain = 0.0;
+#endif
+    FragColor = vec4(c * gain, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "ix.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "ix.png"), rgb, atol=1)
