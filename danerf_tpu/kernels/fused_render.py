@@ -652,15 +652,15 @@ def fused_train_loss_grads(params: dict, cfg: NeRFConfig, rays_o, rays_d,
 # slower on TPU, BENCH_NOTES).
 # --------------------------------------------------------------------------
 
-def _merged_tile(cfg: NeRFConfig, has_time: bool, tr: int, sc: int, sf: int,
-                 o, d, emb2, z_c, field_c, z_f, t, enc_consts, p):
-    """Fine field eval + rank-merge + composite on one (TR rays) tile.
+def _merged_field_permute(cfg: NeRFConfig, has_time: bool, tr: int, sc: int,
+                          sf: int, o, d, emb2, z_c, field_c, z_f, t,
+                          enc_consts, p):
+    """Fine field eval + rank-merge on one (TR rays) tile — the shared
+    prefix of the lane-layout merged composite (_merged_tile) and the 2D
+    merged train composite (_merged_train_kernel).
 
-    z_c (TR, Sc) and z_f (TR, Sf) must each be sorted per ray.  field_c is
-    (TR, 4, Sc): coarse [r, g, b, sigma] in lane layout.  Returns
-    (rgb_map (TR,1,3), depth, acc (TR,1,1), w (TR,1,S_all), z_all (TR,1,S_all),
-    aux) with aux carrying the in-kernel backward's residuals.
-    """
+    Returns (z_all (TR,1,S_all), rgb_all (TR,3,S_all), sigma_all
+    (TR,1,S_all), oh_c, oh_f, res, emb_flat)."""
     f32 = jnp.float32
     s_all = sc + sf
     n_t = tr * sf
@@ -714,6 +714,23 @@ def _merged_tile(cfg: NeRFConfig, has_time: bool, tr: int, sc: int, sf: int,
     z_all = permute(z_c[:, None, :], z_f[:, None, :])     # (TR, 1, S_all)
     rgb_all = permute(field_c[:, :3, :], rgb_f_l)         # (TR, 3, S_all)
     sigma_all = permute(field_c[:, 3:4, :], sigma_f_l)    # (TR, 1, S_all)
+    return z_all, rgb_all, sigma_all, oh_c, oh_f, res, emb_flat
+
+
+def _merged_tile(cfg: NeRFConfig, has_time: bool, tr: int, sc: int, sf: int,
+                 o, d, emb2, z_c, field_c, z_f, t, enc_consts, p):
+    """Fine field eval + rank-merge + composite on one (TR rays) tile.
+
+    z_c (TR, Sc) and z_f (TR, Sf) must each be sorted per ray.  field_c is
+    (TR, 4, Sc): coarse [r, g, b, sigma] in lane layout.  Returns
+    (rgb_map (TR,1,3), depth, acc (TR,1,1), w (TR,1,S_all), z_all (TR,1,S_all),
+    aux) with aux carrying the in-kernel backward's residuals.
+    """
+    f32 = jnp.float32
+    s_all = sc + sf
+    z_all, rgb_all, sigma_all, oh_c, oh_f, res, emb_flat = \
+        _merged_field_permute(cfg, has_time, tr, sc, sf, o, d, emb2, z_c,
+                              field_c, z_f, t, enc_consts, p)
 
     # Compositing over the merged ordering (numerics of ops.composite).
     dists = jnp.concatenate(
@@ -831,30 +848,73 @@ def _merged_train_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
     f32 = jnp.float32
     s_all = sc + sf
     n_t = tr * sf
-
-    rgb_map, depth, acc, w, z_all, aux = _merged_tile(
-        cfg, has_time, tr, sc, sf, o_ref[:], d_ref[:], emb_ref[:], zc_ref[:],
-        fc_ref[:], zf_ref[:], t, enc_consts, p)
-
-    idx = (pl.program_id(0) * tr
-           + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
-    mask = (idx < n_real).astype(f32)
     inv_denom = 1.0 / (n_real * 3.0)
-    diff = (rgb_map - tgt_ref[:][:, None, :]) * mask
-    loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
-    g_rgbmap = (2.0 * inv_denom) * diff
-
-    zero1 = jnp.zeros((tr, 1, 1), f32)
-    g_rgb_all, g_sigma_all = _composite_bwd_lanes(
-        tr, s_all, g_rgbmap, zero1, zero1, jnp.zeros((tr, 1, s_all), f32),
-        aux["rgb_all"], w, aux["alpha"], aux["trans"], z_all, aux["dists"],
-        depth, acc)
-
-    oh_c, oh_f = aux["oh_c"], aux["oh_f"]
 
     def unpermute(g_all, oh):  # (TR,k,S_all) x (TR,Sp,S_all) -> (TR,k,Sp)
         return jax.lax.dot_general(
             g_all, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))))
+
+    if cfg.fused_composite2d:
+        # Dense (TR, S_all) composite fwd+bwd (see _train_kernel): full
+        # sublane occupancy for the transcendental chain, plain matmul
+        # cumsums, and no depth/acc math (the fine MSE never consumes them).
+        z_all, rgb_all, sigma_all, oh_c, oh_f, res, emb_flat = \
+            _merged_field_permute(cfg, has_time, tr, sc, sf, o_ref[:],
+                                  d_ref[:], emb_ref[:], zc_ref[:], fc_ref[:],
+                                  zf_ref[:], t, enc_consts, p)
+        z2 = z_all.reshape(tr, s_all)
+        sig2 = sigma_all.reshape(tr, s_all)
+        dists2 = jnp.concatenate(
+            [z2[:, 1:] - z2[:, :-1], jnp.full((tr, 1), 1e-3, f32)], axis=-1)
+        alpha2 = 1.0 - jnp.exp(-sig2 * dists2)
+        triu = jnp.triu(jnp.ones((s_all, s_all), f32), k=1)
+        log_t2 = jnp.dot(jnp.log(1.0 - alpha2 + 1e-10), triu,
+                         preferred_element_type=f32)
+        trans2 = jnp.exp(log_t2)
+        w2 = alpha2 * trans2                              # (TR, S_all)
+
+        w_l = w2[:, None, :]                              # (TR, 1, S_all)
+        rgb_map = jax.lax.dot_general(
+            w_l, rgb_all,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))))   # (TR, 1, 3)
+
+        idx = (pl.program_id(0) * tr
+               + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+        diff = (rgb_map - tgt_ref[:][:, None, :]) * (idx < n_real).astype(f32)
+        loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
+        g_rgbmap = (2.0 * inv_denom) * diff               # (TR, 1, 3)
+
+        g_w2 = jax.lax.dot_general(
+            g_rgbmap, rgb_all,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,)))).reshape(tr, s_all)
+        g_alpha2 = g_w2 * trans2
+        tril = jnp.tril(jnp.ones((s_all, s_all), f32), k=-1)
+        g_log2 = jnp.dot(g_w2 * alpha2 * trans2, tril,
+                         preferred_element_type=f32)
+        g_alpha2 = g_alpha2 - g_log2 / (1.0 - alpha2 + 1e-10)
+        g_sigma2 = g_alpha2 * (1.0 - alpha2) * dists2     # (TR, S_all)
+
+        g_sigma_all = g_sigma2[:, None, :]                # (TR, 1, S_all)
+        g_rgb_all = jnp.swapaxes(g_rgbmap, 1, 2) * w_l    # (TR, 3, S_all)
+    else:
+        rgb_map, depth, acc, w, z_all, aux = _merged_tile(
+            cfg, has_time, tr, sc, sf, o_ref[:], d_ref[:], emb_ref[:],
+            zc_ref[:], fc_ref[:], zf_ref[:], t, enc_consts, p)
+        res, emb_flat = aux["res"], aux["emb_flat"]
+        oh_c, oh_f = aux["oh_c"], aux["oh_f"]
+
+        idx = (pl.program_id(0) * tr
+               + jax.lax.broadcasted_iota(jnp.int32, (tr, 1, 1), 0))
+        mask = (idx < n_real).astype(f32)
+        diff = (rgb_map - tgt_ref[:][:, None, :]) * mask
+        loss_part = jnp.sum(diff * diff).reshape(1, 1) * inv_denom
+        g_rgbmap = (2.0 * inv_denom) * diff
+
+        zero1 = jnp.zeros((tr, 1, 1), f32)
+        g_rgb_all, g_sigma_all = _composite_bwd_lanes(
+            tr, s_all, g_rgbmap, zero1, zero1, jnp.zeros((tr, 1, s_all), f32),
+            aux["rgb_all"], w, aux["alpha"], aux["trans"], z_all, aux["dists"],
+            depth, acc)
 
     gfc_ref[:] = jnp.concatenate(
         [unpermute(g_rgb_all, oh_c), unpermute(g_sigma_all, oh_c)], axis=1)
@@ -865,7 +925,7 @@ def _merged_train_kernel(cfg: NeRFConfig, n_params: int, has_time: bool,
     g_sigma_flat = jnp.swapaxes(g_sigma_f_l, 1, 2).reshape(n_t, 1)
 
     grads, demb_flat = _field_bwd_from_res(
-        cfg, n_params, p, aux["res"], aux["emb_flat"], g_rgb_flat, g_sigma_flat)
+        cfg, n_params, p, res, emb_flat, g_rgb_flat, g_sigma_flat)
     demb_ref[:] = jnp.sum(demb_flat.reshape(tr, sf, -1), axis=1)
     _accumulate_grads(dparam_refs + [loss_ref], grads + [loss_part])
 

@@ -719,3 +719,33 @@ def test_train_kernel_composite2d_matches_lane_layout():
                                  jax.tree_util.tree_leaves_with_path(g_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
                                    rtol=1e-5, err_msg=f"composite2d {path}")
+
+
+def test_hier_train_kernel_composite2d_matches_lane_layout():
+    """The 2D merged-train composite must reproduce the lane-layout merged
+    path: same hier loss, same grads (default 64+64 config's hot kernel)."""
+    from danerf_tpu.models import init_appearance_embeddings
+    from danerf_tpu.train.trainer import _onepass_hier_loss_grads
+
+    base = SMALL.replace(use_pallas=True, use_fused_train=True,
+                         num_samples=16, num_importance=8,
+                         use_appearance=True)
+    params = {"model": init_nerf_params(jax.random.key(0), base),
+              "appearance": init_appearance_embeddings(
+                  jax.random.key(1), 4, base.appearance_dim)}
+    n = 24
+    rays_o, rays_d, _ = _rays(n, base)
+    batch = {"rays_o": rays_o, "rays_d": rays_d,
+             "rgb": jax.random.uniform(jax.random.key(3), (n, 3)),
+             "img_idx": jax.random.randint(jax.random.key(4), (n,), 0, 4)}
+    key = jax.random.key(7)
+
+    (l_a, _), g_a = _onepass_hier_loss_grads(
+        params, base.replace(fused_composite2d=True), key, batch)
+    (l_b, _), g_b = _onepass_hier_loss_grads(
+        params, base.replace(fused_composite2d=False), key, batch)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g_a),
+                                 jax.tree_util.tree_leaves_with_path(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   rtol=1e-5, err_msg=f"hier composite2d {path}")
