@@ -13,6 +13,8 @@ integration-test bar from SURVEY.md §4.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from danerf_tpu.data.dataset import RayDataset
@@ -66,15 +68,11 @@ def _render_gt(c2w: np.ndarray, H: int, W: int, focal: float,
     return rgb_map, acc
 
 
-def _render_gt_jax(c2w: np.ndarray, H: int, W: int, focal: float,
-                   near: float, far: float, n_samples: int, seed: int,
-                   row_chunk: int = 100):
-    """Device-accelerated ground-truth render: the same analytic field and
-    compositing math as ``_render_gt``, in f32 jax.numpy, chunked over image
-    rows so 800x800x192-sample views fit comfortably in HBM.  Used by the
-    full-scale study (examples/full_scale.py) where the NumPy path would take
-    ~1 min/view on this host; agreement with the NumPy path is pinned in
-    tests/test_data.py."""
+@functools.lru_cache(maxsize=8)
+def _gt_row_renderer(H: int, W: int, focal: float, near: float, far: float,
+                     n_samples: int, seed: int, row_chunk: int):
+    """Build (once per geometry) the jitted row-chunk GT renderer — cached so
+    a 100-view scene compiles a single executable, not one per view."""
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +83,9 @@ def _render_gt_jax(c2w: np.ndarray, H: int, W: int, focal: float,
     colors = jnp.asarray(colors, jnp.float32)
     z = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
     dists = jnp.concatenate([jnp.diff(z), jnp.asarray([1e-3], jnp.float32)])
+
+    # largest divisor of H not exceeding the requested chunk (one compile)
+    row_chunk = max(d for d in range(1, min(row_chunk, H) + 1) if H % d == 0)
 
     @jax.jit
     def render_rows(i0, c2w_):
@@ -109,8 +110,23 @@ def _render_gt_jax(c2w: np.ndarray, H: int, W: int, focal: float,
         weights = alpha * trans
         return jnp.sum(weights[..., None] * rgb, axis=-2), jnp.sum(weights, -1)
 
-    # largest divisor of H not exceeding the requested chunk (one compile)
-    row_chunk = max(d for d in range(1, min(row_chunk, H) + 1) if H % d == 0)
+    return render_rows, row_chunk
+
+
+def _render_gt_jax(c2w: np.ndarray, H: int, W: int, focal: float,
+                   near: float, far: float, n_samples: int, seed: int,
+                   row_chunk: int = 100):
+    """Device-accelerated ground-truth render: the same analytic field and
+    compositing math as ``_render_gt``, in f32 jax.numpy, chunked over image
+    rows so 800x800x192-sample views fit comfortably in HBM.  Used by the
+    full-scale study (examples/full_scale.py) where the NumPy path takes
+    ~1 min/view on this host; agreement with the NumPy path is pinned in
+    tests/test_data.py."""
+    import jax.numpy as jnp
+
+    render_rows, row_chunk = _gt_row_renderer(
+        H, W, float(focal), float(near), float(far), n_samples, seed,
+        row_chunk)
     c2w_j = jnp.asarray(c2w, jnp.float32)
     rgb_rows, acc_rows = [], []
     for i0 in range(0, H, row_chunk):
