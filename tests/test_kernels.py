@@ -691,6 +691,7 @@ def test_pdf_tile_matches_sample_pdf():
     assert bool(jnp.all(got[:, 1:] >= got[:, :-1]))
 
 
+@pytest.mark.slow
 def test_train_kernel_composite2d_matches_lane_layout():
     """The dense (TR,S) 2D composite (cfg.fused_composite2d) must reproduce
     the (TR,1,S) lane-layout path bit-for-near: same loss, same grads."""
@@ -721,6 +722,7 @@ def test_train_kernel_composite2d_matches_lane_layout():
                                    rtol=1e-5, err_msg=f"composite2d {path}")
 
 
+@pytest.mark.slow
 def test_hier_train_kernel_composite2d_matches_lane_layout():
     """The 2D merged-train composite must reproduce the lane-layout merged
     path: same hier loss, same grads (default 64+64 config's hot kernel)."""
