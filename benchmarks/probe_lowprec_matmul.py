@@ -37,14 +37,15 @@ def time_dot(dtype, n=8192, k=256, m=256, reps=200):
             # renormalize + recast so the chain stays in the probe dtype
             return (y // (m * 2)).astype(dtype) if acc == jnp.int32 \
                 else (y * (1.0 / m)).astype(dtype)
-        return jax.lax.fori_loop(0, reps, body, a)
+        out = jax.lax.fori_loop(0, reps, body, a)
+        # scalar result: a full-array fetch through the remote tunnel would
+        # dominate the measurement (~33 MB at ~4 MB/s)
+        return jnp.sum(out.astype(jnp.float32))
 
     try:
-        out = chain(a)
-        np.asarray(out)  # force through the tunnel
+        float(chain(a))  # compile + warm, value-fetched
         t0 = time.perf_counter()
-        out = chain(a)
-        np.asarray(out)
+        float(chain(a))
         dt = time.perf_counter() - t0
     except Exception as e:
         return None, f"{type(e).__name__}: {str(e)[:160]}"
