@@ -882,10 +882,6 @@ struct Parser {
         // function definition: RET name(TYPE a, TYPE b, ...) { ... }
         // (user helper functions + the mandatory void main())
         std::string ret = expect_ident();
-        if (struct_names.count(ret))
-          fail("struct return values are not supported (function returning "
-               "'" + ret + "') — return components or use an out-style "
-               "assignment in the caller");
         std::string fn = expect_ident();
         expect("(");
         Func f;
@@ -1318,6 +1314,13 @@ struct Interp {
   bool broke = false;                   // break: unwinds to the nearest loop
   bool continued = false;               // continue: skips to the next iter
   Val ret_val;                          // value of the innermost `return e;`
+  // struct return values: `return light;` captures the instance's fields
+  // here (they are callee locals and die at the scope swap); the caller's
+  // declaration/assignment site consumes them.  A struct-returning call in
+  // any other expression context errors loudly (struct_result_ok gate).
+  std::string ret_struct_type;
+  std::map<std::string, Val> ret_struct_fields;  // keyed by field name
+  bool struct_result_ok = false;
   int call_depth = 0;                   // user-function recursion guard
   // Per-pixel loop budget: a fragment shader that spins 10^6 iterations on
   // ONE pixel is runaway (GLSL itself forbids unbounded loops); erroring
@@ -1744,6 +1747,69 @@ struct Interp {
     throw EvalError("unsupported function '" + fn + "'");
   }
 
+  // Capture a struct-valued `return` expression into ret_struct_*.
+  // Returns false when the expression is not struct-valued (normal return).
+  bool exec_struct_return(const Expr& e) {
+    if (e.kind == Expr::Var && struct_locals.count(e.name)) {
+      const std::string& ty = struct_locals.at(e.name);
+      ret_struct_type = ty;
+      ret_struct_fields.clear();
+      for (const auto& fld : sh.struct_types.at(ty))
+        ret_struct_fields[fld.second] = locals.at(e.name + "." + fld.second);
+      return true;
+    }
+    if (e.kind == Expr::Call && sh.struct_types.count(e.name)) {
+      const auto& fields = sh.struct_types.at(e.name);
+      if (e.args.size() != fields.size())
+        throw EvalError("constructor " + e.name + "(...) expects " +
+                        std::to_string(fields.size()) + " arguments, got " +
+                        std::to_string(e.args.size()));
+      ret_struct_type = e.name;
+      ret_struct_fields.clear();
+      for (size_t i = 0; i < fields.size(); ++i) {
+        Val fv = eval(*e.args[i]);
+        coerce_to_type(fv, fields[i].first);
+        ret_struct_fields[fields[i].second] = fv;
+      }
+      return true;
+    }
+    if (e.kind == Expr::Call) {  // return makeLight(...);  (chained)
+      auto fit = sh.functions.find(e.name);
+      if (fit != sh.functions.end() &&
+          sh.struct_types.count(fit->second.ret_type)) {
+        bool saved = struct_result_ok;
+        struct_result_ok = true;
+        eval_call(e);  // fills ret_struct_* via the callee's return
+        struct_result_ok = saved;
+        return true;
+      }
+    }
+    return false;
+  }
+
+  // Consume a struct-returning user-function call into the fields of a
+  // declared instance (`Light l = makeLight();` / `l = makeLight();`).
+  // Returns false when the expression is not such a call.
+  bool struct_call_into(const Expr& e, const std::string& dst,
+                        const std::string& want_type) {
+    if (e.kind != Expr::Call) return false;
+    auto fit = sh.functions.find(e.name);
+    if (fit == sh.functions.end() ||
+        !sh.struct_types.count(fit->second.ret_type))
+      return false;
+    if (fit->second.ret_type != want_type)
+      throw EvalError("cannot assign '" + fit->second.ret_type +
+                      "' result of " + e.name + "() to '" + want_type +
+                      " " + dst + "'");
+    bool saved = struct_result_ok;
+    struct_result_ok = true;
+    eval_call(e);
+    struct_result_ok = saved;
+    for (const auto& kv : ret_struct_fields)
+      locals[dst + "." + kv.first] = kv.second;
+    return true;
+  }
+
   // `Light l;` / `Light l = Light(dir, power);` / `Light l2 = l;`
   void exec_struct_decl(const Stmt& st) {
     const auto& fields = sh.struct_types.at(st.op);
@@ -1769,15 +1835,22 @@ struct Interp {
       for (const auto& fld : fields)
         locals[st.name + "." + fld.second] =
             locals.at(st.expr->name + "." + fld.second);
+    } else if (struct_call_into(*st.expr, st.name, st.op)) {
+      // Light l = makeLight(...): fields written by the call's return
     } else {
       throw EvalError("a struct variable must be initialized with a " +
-                      st.op + "(...) constructor or another " + st.op +
-                      " instance");
+                      st.op + "(...) constructor, another " + st.op +
+                      " instance, or a " + st.op + "-returning function");
     }
     struct_locals[st.name] = st.op;
   }
 
   Val call_user(const Func& f, const Expr& e) {
+    bool struct_ret = sh.struct_types.count(f.ret_type) > 0;
+    if (struct_ret && !struct_result_ok)
+      throw EvalError("'" + e.name + "' returns a struct ('" + f.ret_type +
+                      "'): use it to initialize or assign a " + f.ret_type +
+                      " variable (not inside a larger expression)");
     if (e.args.size() != f.param_names.size())
       throw EvalError("function '" + e.name + "' expects " +
                       std::to_string(f.param_names.size()) + " arguments, got " +
@@ -1817,7 +1890,13 @@ struct Interp {
           continue;
         }
       }
+      // arguments are never struct-result consumers: a struct-returning
+      // call nested in an argument list must error, not silently bind a
+      // dummy value to the parameter
+      bool saved_ok = struct_result_ok;
+      struct_result_ok = false;
       argv[i] = eval(a);
+      struct_result_ok = saved_ok;
       // bind with the declared parameter type's semantics: third(1) with
       // `float third(float x)` converts the int 1 to float at the call
       coerce_to_type(argv[i], pty);
@@ -1838,10 +1917,17 @@ struct Interp {
     struct_locals.swap(struct_args);
     returned = false;
     ret_val = Val{};
+    if (struct_ret) ret_struct_type.clear();
     exec(f.body);
     Val result = ret_val;
     if (!returned && f.ret_type != "void")
       throw EvalError("function '" + e.name + "' ended without a return");
+    if (struct_ret && ret_struct_type != f.ret_type)
+      throw EvalError("function '" + e.name + "' must return a '" +
+                      f.ret_type + "' instance" +
+                      (ret_struct_type.empty()
+                           ? std::string(" (returned a non-struct value)")
+                           : " (returned '" + ret_struct_type + "')"));
     locals.swap(saved_locals);
     arrays.swap(saved_arrays);
     struct_locals.swap(saved_structs);
@@ -1919,15 +2005,20 @@ struct Interp {
               break;
             }
           }
-          // whole-instance copy: `l2 = l;` (both declared struct instances)
+          // whole-instance copy: `l2 = l;` / `l2 = makeLight();`
           if (!st->index && st->swizzle.empty() &&
               struct_locals.count(st->name)) {
+            if (st->op == "=" &&
+                struct_call_into(*st->expr, st->name,
+                                 struct_locals.at(st->name)))
+              break;
             if (st->op != "=" || st->expr->kind != Expr::Var ||
                 !struct_locals.count(st->expr->name) ||
                 struct_locals.at(st->expr->name) !=
                     struct_locals.at(st->name))
               throw EvalError("a struct instance can only be assigned from "
-                              "another instance of the same type");
+                              "another instance of the same type or a "
+                              "struct-returning function");
             const auto& fields =
                 sh.struct_types.at(struct_locals.at(st->name));
             for (const auto& fld : fields)
@@ -2069,6 +2160,12 @@ struct Interp {
           continued = true;
           return;
         case Stmt::Return:
+          // `return instance;` / `return Type(...);` / `return makeT(...);`
+          // capture the struct fields before the call-scope swap drops them
+          if (st->expr && exec_struct_return(*st->expr)) {
+            returned = true;
+            return;
+          }
           ret_val = st->expr ? eval(*st->expr) : Val{};
           returned = true;
           return;

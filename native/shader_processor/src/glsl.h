@@ -24,9 +24,11 @@
 // identifiers = 0 per ISO C 6.10.1 — and `#undef`), user `struct` types
 // (definition, constructor initializer, field read/write incl. swizzled
 // components and compound ops, instance copy/assign, by-value struct
-// function parameters), and assignment to the declared `out vec4`
-// variable.  Unsupported constructs (struct return values, nested/array-of
-// structs, bitwise `#if` operators) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
+// function parameters AND return values — consumed by a declaration or
+// assignment, not inside a larger expression), and assignment to the
+// declared `out vec4` variable.  Unsupported constructs (nested/array-of
+// structs, struct calls inside larger expressions, bitwise `#if`
+// operators) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
 // carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
 // and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
 // int-ness, and declared types coerce (float k = 1, float[](1, 2), float

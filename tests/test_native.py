@@ -846,9 +846,53 @@ void main() {
     np.testing.assert_allclose(_read(td / "st.png"), rgb, atol=1)
 
 
+def test_glsl_struct_returns(io_dir, tmp_path):
+    """Struct return values: decl-from-call, assign-from-call, constructor
+    returns, and chained struct-returning calls."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "sret.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+Light makeLight(float p) {
+    Light l = Light(vec3(1.0, 0.0, 0.0), p);
+    return l;                             // instance return
+}
+Light doubled(Light a) {
+    return Light(a.dir, a.power * 2.0);   // constructor return
+}
+Light chain(float p) {
+    return makeLight(p);                  // chained struct return
+}
+void main() {
+    Light l = makeLight(0.25);
+    Light m;
+    m = doubled(l);
+    Light c = chain(0.125);
+    float ok = step(abs(l.power - 0.25) + abs(m.power - 0.5)
+                    + abs(c.power - 0.125) + abs(m.dir.x - 1.0), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sr.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sr.png"), rgb, atol=1)
+
+
 @pytest.mark.parametrize("src,needle", [
-    ("struct A { float x; };\nA make() { A a; return a; }\nvoid main() {}",
-     "struct return values are not supported"),
+    ("struct A { float x; };\nA make() { return A(1.0); }\n"
+     "void main() { FragColor = vec4(make().x); }",
+     "use it to initialize or assign"),
+    ("struct A { float x; };\nA make() { return 1.0; }\n"
+     "void main() { A a = make(); }",
+     "must return a 'A' instance"),
+    ("struct A { float x; };\nA make() { return A(1.0); }\n"
+     "float f(float y) { return y; }\n"
+     "void main() { float z = f(make()); }",
+     "use it to initialize or assign"),
     ("struct A { float x; };\nstruct B { A inner; };\nvoid main() {}",
      "nested struct fields are not supported"),
     ("struct A { float x; };\nvoid main() { A k[2]; }",
