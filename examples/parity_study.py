@@ -372,7 +372,7 @@ def main():
                     float(m.get("final_train_psnr", np.nan)
                           - a.get("train_psnr_tail", np.nan))),
             }
-    for extra in ("dead_rates", "equivalence", "equivalence_1000",
+    for extra in ("dead_rates", "equivalence", "equivalence_600",
                   "equivalence_hier", "equivalence_hier_600"):
         path = os.path.join(RUNS_DIR, f"{extra}.json")
         if os.path.isfile(path):
