@@ -895,6 +895,9 @@ struct Parser {
           f.param_types.push_back(ptype);
           f.param_names.push_back(expect_ident());
           if (is_punct("[")) {  // array parameter `float k[9]` (by value)
+            if (struct_names.count(ptype))
+              fail("struct array parameters are not supported ('" + ptype +
+                   " " + f.param_names.back() + "[...]')");
             advance();
             if (!is_punct("]")) parse_expr();  // declared size: unchecked
             expect("]");
@@ -973,9 +976,12 @@ struct Parser {
         expect("]");
         st->kind = Stmt::Assign;
         st->name = name;
-        if (is_punct(".")) {
+        // dotted chain: `v[i].x = ...` (swizzle) or `lights[i].dir.x = ...`
+        // (struct-array field + swizzle; exec splits on the dot)
+        while (is_punct(".")) {
           advance();
-          st->swizzle = expect_ident();
+          if (!st->swizzle.empty()) st->swizzle += ".";
+          st->swizzle += expect_ident();
         }
         if (is_punct("++") || is_punct("--")) {
           st->op = cur.text == "++" ? "+=" : "-=";
@@ -1107,7 +1113,8 @@ struct Parser {
   // array initializer.  Returns the element expressions.
   std::vector<ExprP> parse_array_ctor() {
     std::string type = expect_ident();
-    if (!is_type(type)) fail("bad array constructor type '" + type + "'");
+    if (!is_type(type) && !struct_names.count(type))
+      fail("bad array constructor type '" + type + "'");
     expect("[");
     if (!is_punct("]")) parse_expr();  // size token: element count wins
     expect("]");
@@ -1310,6 +1317,9 @@ struct Interp {
   // dotted locals ("light.dir"); this registry exists for declarations,
   // whole-instance copies, and by-value parameter passing.
   std::map<std::string, std::string> struct_locals;
+  // struct arrays: name -> (element type, size).  Element k's fields live
+  // as dotted locals "name.k.field"; lights[i].dir resolves at eval time.
+  std::map<std::string, std::pair<std::string, int>> struct_arrays;
   bool returned = false;
   bool broke = false;                   // break: unwinds to the nearest loop
   bool continued = false;               // continue: skips to the next iter
@@ -1433,10 +1443,18 @@ struct Interp {
         return *v;
       }
       case Expr::Member: {
-        // struct field read: `light.dir` resolves the dotted local directly
-        // (chains like light.dir.x swizzle the field value below)
+        // struct field read: `light.dir` / `lights[i].dir` resolves the
+        // dotted local directly (light.dir.x swizzles the field below)
         if (e.args[0]->kind == Expr::Var) {
           if (Val* f = lookup(e.args[0]->name + "." + e.name)) return *f;
+        } else if (e.args[0]->kind == Expr::Index) {
+          std::string inst = struct_elem_name(*e.args[0]);
+          if (!inst.empty()) {
+            if (Val* f = lookup(inst + "." + e.name)) return *f;
+            throw EvalError("struct '" +
+                            struct_locals.at(inst) + "' has no field '" +
+                            e.name + "'");
+          }
         }
         Val base = eval(*e.args[0]);
         if (base.mat)
@@ -1469,6 +1487,10 @@ struct Interp {
       }
       case Expr::Index: {
         const Expr& base = *e.args[0];
+        if (base.kind == Expr::Var && struct_arrays.count(base.name))
+          throw EvalError("struct array element '" + base.name +
+                          "[...]' cannot be used as a value here "
+                          "(access its fields)");
         Val iv = eval(*e.args[1]);
         if (base.kind == Expr::Var) {
           if (std::vector<Val>* arr = lookup_arr(base.name)) {
@@ -1750,12 +1772,13 @@ struct Interp {
   // Capture a struct-valued `return` expression into ret_struct_*.
   // Returns false when the expression is not struct-valued (normal return).
   bool exec_struct_return(const Expr& e) {
-    if (e.kind == Expr::Var && struct_locals.count(e.name)) {
-      const std::string& ty = struct_locals.at(e.name);
+    std::string inst = instance_of(e);
+    if (!inst.empty()) {
+      const std::string& ty = struct_locals.at(inst);
       ret_struct_type = ty;
       ret_struct_fields.clear();
       for (const auto& fld : sh.struct_types.at(ty))
-        ret_struct_fields[fld.second] = locals.at(e.name + "." + fld.second);
+        ret_struct_fields[fld.second] = locals.at(inst + "." + fld.second);
       return true;
     }
     if (e.kind == Expr::Call && sh.struct_types.count(e.name)) {
@@ -1810,6 +1833,139 @@ struct Interp {
     return true;
   }
 
+  // `Light ls[2];` / `Light ls[2] = Light[](Light(...), Light(...));`
+  // Elements live as dotted locals "ls.k.field".
+  void exec_struct_array_decl(const Stmt& st) {
+    const auto& fields = sh.struct_types.at(st.op);
+    int size = st.expr ? index_of(eval(*st.expr), "array size", 0x7fffffff)
+                       : int(st.elems.size());
+    if (!st.elems.empty() && size != int(st.elems.size()))
+      throw EvalError("array '" + st.name + "' declares " +
+                      std::to_string(size) + " elements but initializes " +
+                      std::to_string(st.elems.size()));
+    if (size <= 0 || size > 256)
+      throw EvalError("struct array '" + st.name +
+                      "' needs a size in [1, 256]");
+    for (int k = 0; k < size; ++k) {
+      std::string prefix = st.name + "." + std::to_string(k);
+      if (st.elems.empty()) {
+        for (const auto& fld : fields)
+          locals[prefix + "." + fld.second] = zero_of(fld.first);
+      } else {
+        const Expr& el = *st.elems[k];
+        if (el.kind != Expr::Call || el.name != st.op)
+          throw EvalError("struct array elements must be " + st.op +
+                          "(...) constructors");
+        if (el.args.size() != fields.size())
+          throw EvalError("constructor " + st.op + "(...) expects " +
+                          std::to_string(fields.size()) + " arguments, got " +
+                          std::to_string(el.args.size()));
+        for (size_t i = 0; i < fields.size(); ++i) {
+          Val fv = eval(*el.args[i]);
+          coerce_to_type(fv, fields[i].first);
+          locals[prefix + "." + fields[i].second] = fv;
+        }
+      }
+      struct_locals[prefix] = st.op;  // each element acts as an instance
+    }
+    struct_arrays[st.name] = {st.op, size};
+  }
+
+  // Resolve `lights[i]` (struct-array element) to its dotted instance name;
+  // empty when the expression is not a struct-array index.
+  std::string struct_elem_name(const Expr& e) {
+    if (e.kind != Expr::Index || e.args[0]->kind != Expr::Var) return "";
+    auto it = struct_arrays.find(e.args[0]->name);
+    if (it == struct_arrays.end()) return "";
+    int i = index_of(eval(*e.args[1]),
+                     ("struct array '" + it->first + "'").c_str(),
+                     it->second.second);
+    return it->first + "." + std::to_string(i);
+  }
+
+  // Assign a whole struct instance at dotted name `dst` of type `ty` from
+  // an rhs expression: another instance, a constructor, or a
+  // struct-returning user function.  Only '=' is meaningful.
+  void struct_assign_instance(const std::string& dst, const std::string& ty,
+                              const Expr& rhs, const std::string& op) {
+    if (op != "=")
+      throw EvalError("only '=' is supported for whole-struct assignment");
+    if (struct_call_into(rhs, dst, ty)) return;
+    const auto& fields = sh.struct_types.at(ty);
+    if (rhs.kind == Expr::Call && rhs.name == ty) {  // ctor rhs
+      if (rhs.args.size() != fields.size())
+        throw EvalError("constructor " + ty + "(...) expects " +
+                        std::to_string(fields.size()) + " arguments, got " +
+                        std::to_string(rhs.args.size()));
+      for (size_t i = 0; i < fields.size(); ++i) {
+        Val fv = eval(*rhs.args[i]);
+        coerce_to_type(fv, fields[i].first);
+        locals[dst + "." + fields[i].second] = fv;
+      }
+      return;
+    }
+    std::string src = instance_of(rhs);
+    if (src.empty() || struct_locals.at(src) != ty)
+      throw EvalError("a struct instance can only be assigned from another "
+                      "instance of the same type, a " + ty +
+                      "(...) constructor, or a struct-returning function");
+    for (const auto& fld : fields)
+      locals[dst + "." + fld.second] = locals.at(src + "." + fld.second);
+  }
+
+  // `lights[i] = <instance|ctor|fn>` / `lights[i].field(.swz)? op= expr`
+  void exec_struct_array_assign(const Stmt& st) {
+    const auto& arr = struct_arrays.at(st.name);
+    int i = index_of(eval(*st.index),
+                     ("struct array '" + st.name + "'").c_str(), arr.second);
+    std::string inst = st.name + "." + std::to_string(i);
+    if (st.swizzle.empty()) {
+      struct_assign_instance(inst, arr.first, *st.expr, st.op);
+      return;
+    }
+    // split "field" / "field.swz"
+    std::string field = st.swizzle, swz;
+    size_t dot = field.find('.');
+    if (dot != std::string::npos) {
+      swz = field.substr(dot + 1);
+      field = field.substr(0, dot);
+    }
+    auto fit = locals.find(inst + "." + field);
+    if (fit == locals.end())
+      throw EvalError("struct '" + arr.first + "' has no field '" + field +
+                      "'");
+    Val rhs = eval(*st.expr);
+    if (swz.empty()) {
+      if (st.op == "=") {
+        fit->second = rhs;
+      } else {
+        fit->second = arith(fit->second, rhs, std::string(1, st.op[0]));
+      }
+      for (const auto& fld : sh.struct_types.at(arr.first))
+        if (fld.second == field) coerce_to_type(fit->second, fld.first);
+      return;
+    }
+    for (size_t k = 0; k < swz.size(); ++k) {
+      int idx = swizzle_index(swz[k]);
+      if (idx >= fit->second.n)
+        throw EvalError("swizzle assignment ." + swz + " out of range");
+      float r = rhs.v[rhs.n == 1 ? 0 : int(k)];
+      float& t = fit->second.v[idx];
+      if (st.op == "=") t = r;
+      else if (st.op == "+=") t += r;
+      else if (st.op == "-=") t -= r;
+      else if (st.op == "*=") t *= r;
+      else t /= r;
+    }
+  }
+
+  // Resolve an expression naming a struct instance — a plain variable or a
+  // struct-array element — to its dotted storage name ("" otherwise).
+  std::string instance_of(const Expr& e) {
+    if (e.kind == Expr::Var && struct_locals.count(e.name)) return e.name;
+    return struct_elem_name(e);
+  }
+
   // `Light l;` / `Light l = Light(dir, power);` / `Light l2 = l;`
   void exec_struct_decl(const Stmt& st) {
     const auto& fields = sh.struct_types.at(st.op);
@@ -1826,15 +1982,14 @@ struct Interp {
         coerce_to_type(fv, fields[i].first);
         locals[st.name + "." + fields[i].second] = fv;
       }
-    } else if (st.expr->kind == Expr::Var &&
-               struct_locals.count(st.expr->name)) {
-      if (struct_locals.at(st.expr->name) != st.op)
+    } else if (!instance_of(*st.expr).empty()) {
+      std::string src = instance_of(*st.expr);
+      if (struct_locals.at(src) != st.op)
         throw EvalError("cannot initialize '" + st.op + " " + st.name +
-                        "' from a '" + struct_locals.at(st.expr->name) +
+                        "' from a '" + struct_locals.at(src) +
                         "' instance");
       for (const auto& fld : fields)
-        locals[st.name + "." + fld.second] =
-            locals.at(st.expr->name + "." + fld.second);
+        locals[st.name + "." + fld.second] = locals.at(src + "." + fld.second);
     } else if (struct_call_into(*st.expr, st.name, st.op)) {
       // Light l = makeLight(...): fields written by the call's return
     } else {
@@ -1874,13 +2029,13 @@ struct Interp {
       const std::string& pty =
           i < f.param_types.size() ? f.param_types[i] : std::string();
       if (sh.struct_types.count(pty)) {
-        if (a.kind != Expr::Var || !struct_locals.count(a.name) ||
-            struct_locals.at(a.name) != pty)
+        std::string inst = instance_of(a);
+        if (inst.empty() || struct_locals.at(inst) != pty)
           throw EvalError("argument " + std::to_string(i + 1) + " of '" +
                           e.name + "' must be a '" + pty + "' instance");
         for (const auto& fld : sh.struct_types.at(pty))
           struct_fields[f.param_names[i] + "." + fld.second] =
-              locals.at(a.name + "." + fld.second);
+              locals.at(inst + "." + fld.second);
         struct_args[f.param_names[i]] = pty;
         continue;
       }
@@ -1907,6 +2062,8 @@ struct Interp {
     saved_arrays.swap(arrays);
     std::map<std::string, std::string> saved_structs;
     saved_structs.swap(struct_locals);
+    std::map<std::string, std::pair<std::string, int>> saved_struct_arrays;
+    saved_struct_arrays.swap(struct_arrays);
     bool saved_returned = returned;
     for (size_t i = 0; i < argv.size(); ++i)
       if (!arr_args.count(f.param_names[i]) &&
@@ -1931,6 +2088,7 @@ struct Interp {
     locals.swap(saved_locals);
     arrays.swap(saved_arrays);
     struct_locals.swap(saved_structs);
+    struct_arrays.swap(saved_struct_arrays);
     returned = saved_returned;
     --call_depth;
     return result;
@@ -1960,9 +2118,10 @@ struct Interp {
           break;
         }
         case Stmt::DeclArr: {
-          if (sh.struct_types.count(st->op))
-            throw EvalError("arrays of structs are not supported ('" +
-                            st->op + " " + st->name + "[...]')");
+          if (sh.struct_types.count(st->op)) {
+            exec_struct_array_decl(*st);
+            break;
+          }
           std::vector<Val> vals;
           vals.reserve(st->elems.size());
           for (const auto& el : st->elems) {
@@ -2005,25 +2164,18 @@ struct Interp {
               break;
             }
           }
-          // whole-instance copy: `l2 = l;` / `l2 = makeLight();`
+          // struct-array element targets: `lights[i] = ...` (whole element)
+          // and `lights[i].field(.swz)? op= ...`
+          if (st->index && struct_arrays.count(st->name)) {
+            exec_struct_array_assign(*st);
+            break;
+          }
+          // whole-instance copy: `l2 = l;` / `l2 = lights[i];` /
+          // `l2 = makeLight();`
           if (!st->index && st->swizzle.empty() &&
               struct_locals.count(st->name)) {
-            if (st->op == "=" &&
-                struct_call_into(*st->expr, st->name,
-                                 struct_locals.at(st->name)))
-              break;
-            if (st->op != "=" || st->expr->kind != Expr::Var ||
-                !struct_locals.count(st->expr->name) ||
-                struct_locals.at(st->expr->name) !=
-                    struct_locals.at(st->name))
-              throw EvalError("a struct instance can only be assigned from "
-                              "another instance of the same type or a "
-                              "struct-returning function");
-            const auto& fields =
-                sh.struct_types.at(struct_locals.at(st->name));
-            for (const auto& fld : fields)
-              locals[st->name + "." + fld.second] =
-                  locals.at(st->expr->name + "." + fld.second);
+            struct_assign_instance(st->name, struct_locals.at(st->name),
+                                   *st->expr, st->op);
             break;
           }
           Val rhs = eval(*st->expr);
@@ -2249,6 +2401,7 @@ GlslResult run_glsl_shader(const std::string& source, const Image& rgb,
         in.locals.clear();
         in.arrays.clear();
         in.struct_locals.clear();
+        in.struct_arrays.clear();
         in.returned = false;
         Val uv;
         uv.n = 2;

@@ -882,10 +882,62 @@ void main() {
     np.testing.assert_allclose(_read(td / "sr.png"), rgb, atol=1)
 
 
+def test_glsl_struct_arrays(io_dir, tmp_path):
+    """Struct arrays: declaration (with and without Light[](...) init),
+    whole-element assignment from constructors, per-field and swizzled
+    writes, loop-indexed reads, elements as by-value function arguments,
+    and instance copies from elements."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "sarr.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+float shade(Light l) { return l.power * l.dir.x; }
+void main() {
+    Light lights[3];
+    lights[0] = Light(vec3(1.0, 0.0, 0.0), 0.5);
+    lights[1] = Light(vec3(0.5, 0.0, 0.0), 1.0);
+    lights[2].dir = vec3(2.0, 0.0, 0.0);
+    lights[2].power = 0.25;
+    lights[1].power += 0.5;          // compound field op -> 1.5
+    lights[0].dir.x = 2.0;           // swizzled field write
+    Light lc[2] = Light[](Light(vec3(1.0), 0.125), Light(vec3(2.0), 0.25));
+    float total = 0.0;
+    for (int i = 0; i < 3; i++) {
+        total += shade(lights[i]);   // element as by-value param
+    }
+    // 0.5*2 + 1.5*0.5 + 0.25*2 = 2.25
+    Light copy = lights[1];          // decl from element
+    float ok = step(abs(total - 2.25) + abs(copy.power - 1.5)
+                    + abs(lc[1].power - 0.25) + abs(lc[0].dir.x - 1.0),
+                    0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sa.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sa.png"), rgb, atol=1)
+
+
 @pytest.mark.parametrize("src,needle", [
     ("struct A { float x; };\nA make() { return A(1.0); }\n"
      "void main() { FragColor = vec4(make().x); }",
      "use it to initialize or assign"),
+    ("struct A { float x; };\n"
+     "void main() { A k[2]; FragColor = vec4(k[0].nope); }",
+     "has no field 'nope'"),
+    ("struct A { float x; };\n"
+     "void main() { A k[2]; k[5].x = 1.0; }",
+     "out of range"),
+    ("struct A { float x; };\n"
+     "void main() { A k[2]; FragColor = vec4(k[0]); }",
+     "cannot be used as a value"),
+    ("struct A { float x; };\nfloat f(A k[2]) { return 0.0; }\n"
+     "void main() {}",
+     "struct array parameters are not supported"),
     ("struct A { float x; };\nA make() { return 1.0; }\n"
      "void main() { A a = make(); }",
      "must return a 'A' instance"),
@@ -895,8 +947,8 @@ void main() {
      "use it to initialize or assign"),
     ("struct A { float x; };\nstruct B { A inner; };\nvoid main() {}",
      "nested struct fields are not supported"),
-    ("struct A { float x; };\nvoid main() { A k[2]; }",
-     "arrays of structs are not supported"),
+    ("struct A { float x; };\nvoid main() { A k[0]; }",
+     "needs a size in"),
     ("struct A { float x; };\nvoid main() { A a; FragColor = vec4(a); }",
      "cannot be used as a value"),
     ("struct A { float x; };\nvoid main() { A a = 1.0; }",
