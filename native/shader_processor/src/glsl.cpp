@@ -1455,6 +1455,38 @@ struct Interp {
                             struct_locals.at(inst) + "' has no field '" +
                             e.name + "'");
           }
+        } else if (e.args[0]->kind == Expr::Call) {
+          // field of a call result: makeLight().power / Light(...).dir
+          const Expr& c = *e.args[0];
+          if (sh.struct_types.count(c.name)) {  // constructor result
+            const auto& fields = sh.struct_types.at(c.name);
+            if (c.args.size() != fields.size())
+              throw EvalError("constructor " + c.name + "(...) expects " +
+                              std::to_string(fields.size()) +
+                              " arguments, got " +
+                              std::to_string(c.args.size()));
+            for (size_t i = 0; i < fields.size(); ++i)
+              if (fields[i].second == e.name) {
+                Val fv = eval(*c.args[i]);
+                coerce_to_type(fv, fields[i].first);
+                return fv;
+              }
+            throw EvalError("struct '" + c.name + "' has no field '" +
+                            e.name + "'");
+          }
+          auto fit = sh.functions.find(c.name);
+          if (fit != sh.functions.end() &&
+              sh.struct_types.count(fit->second.ret_type)) {
+            bool saved = struct_result_ok;
+            struct_result_ok = true;
+            eval_call(c);
+            struct_result_ok = saved;
+            auto rf = ret_struct_fields.find(e.name);
+            if (rf == ret_struct_fields.end())
+              throw EvalError("struct '" + fit->second.ret_type +
+                              "' has no field '" + e.name + "'");
+            return rf->second;
+          }
         }
         Val base = eval(*e.args[0]);
         if (base.mat)

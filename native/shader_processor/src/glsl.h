@@ -24,14 +24,15 @@
 // identifiers = 0 per ISO C 6.10.1 — and `#undef`), user `struct` types
 // (definition, constructor initializer, field read/write incl. swizzled
 // components and compound ops, instance copy/assign, by-value struct
-// function parameters AND return values — consumed by a declaration or
-// assignment, not inside a larger expression — and struct ARRAYS:
+// function parameters AND return values (consumed by a declaration,
+// an assignment, or direct field access like makeLight().power) — and
+// struct ARRAYS:
 // `Light ls[3]` with per-field/swizzled element writes, whole-element
 // assignment, loop-indexed reads, and elements as function arguments),
 // plus assignment to the declared `out vec4` variable.  Unsupported
-// constructs (nested structs, struct calls inside larger expressions,
-// struct array parameters, bitwise `#if` operators) fail with a parse
-// error naming them.  Int literals, int() casts, and `int`-declared variables
+// constructs (nested structs, whole-struct call results passed as
+// non-struct arguments, struct array parameters, bitwise `#if`
+// operators) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
 // carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
 // and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
 // int-ness, and declared types coerce (float k = 1, float[](1, 2), float

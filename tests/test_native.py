@@ -882,6 +882,33 @@ void main() {
     np.testing.assert_allclose(_read(td / "sr.png"), rgb, atol=1)
 
 
+def test_glsl_struct_call_field_access(io_dir, tmp_path):
+    """Fields of a struct-valued call used directly inside expressions:
+    makeLight().power, makeLight().dir.y, Light(...).power."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "scall.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+Light makeLight(float p) { return Light(vec3(1.0, 2.0, 3.0), p); }
+void main() {
+    float a = makeLight(0.5).power;          // 0.5
+    float b = makeLight(0.5).dir.y;          // 2.0
+    float c = Light(vec3(4.0), 0.25).power;  // constructor field
+    float d = Light(vec3(4.0), 9).dir.x;     // 4.0
+    float ok = step(abs(a - 0.5) + abs(b - 2.0) + abs(c - 0.25)
+                    + abs(d - 4.0), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sc.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sc.png"), rgb, atol=1)
+
+
 def test_glsl_struct_arrays(io_dir, tmp_path):
     """Struct arrays: declaration (with and without Light[](...) init),
     whole-element assignment from constructors, per-field and swizzled
@@ -924,8 +951,11 @@ void main() {
 
 @pytest.mark.parametrize("src,needle", [
     ("struct A { float x; };\nA make() { return A(1.0); }\n"
-     "void main() { FragColor = vec4(make().x); }",
+     "void main() { FragColor = vec4(make()); }",
      "use it to initialize or assign"),
+    ("struct A { float x; };\nA make() { return A(1.0); }\n"
+     "void main() { FragColor = vec4(make().nope); }",
+     "has no field 'nope'"),
     ("struct A { float x; };\n"
      "void main() { A k[2]; FragColor = vec4(k[0].nope); }",
      "has no field 'nope'"),
