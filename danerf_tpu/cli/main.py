@@ -17,6 +17,13 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="danerf", description="TPU NeRF-W framework")
+    try:
+        from importlib.metadata import version
+
+        ver = version("danerf-tpu")
+    except Exception:  # not installed as a package (repo checkout)
+        ver = "dev"
+    p.add_argument("--version", action="version", version=f"danerf {ver}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     # ---- train (reference run.py --mode train) ----

@@ -49,3 +49,11 @@ def test_module_invocation_still_works():
                        capture_output=True, text=True, timeout=120, cwd=REPO)
     assert r.returncode == 0, r.stderr
     assert "train" in r.stdout
+
+
+def test_version_flag():
+    r = subprocess.run([sys.executable, "-m", "danerf_tpu.cli.main",
+                        "--version"], capture_output=True, text=True,
+                       timeout=120, cwd=REPO)
+    assert r.returncode == 0
+    assert r.stdout.startswith("danerf ")
