@@ -847,10 +847,8 @@ struct Parser {
         while (!is_punct("}")) {
           if (cur.kind == Tok::End) fail("unterminated struct '" + name + "'");
           std::string ftype = expect_ident();
-          if (struct_names.count(ftype))
-            fail("nested struct fields are not supported (field of struct "
-                 "type '" + ftype + "' in '" + name + "')");
-          if (!is_type(ftype) || ftype == "sampler2D")
+          if ((!is_type(ftype) && !struct_names.count(ftype)) ||
+              ftype == "sampler2D")
             fail("bad struct field type '" + ftype + "' in '" + name + "'");
           fields.emplace_back(ftype, expect_ident());
           while (is_punct(",")) {  // float a, b;
@@ -1443,19 +1441,26 @@ struct Interp {
         return *v;
       }
       case Expr::Member: {
-        // struct field read: `light.dir` / `lights[i].dir` resolves the
-        // dotted local directly (light.dir.x swizzles the field below)
-        if (e.args[0]->kind == Expr::Var) {
-          if (Val* f = lookup(e.args[0]->name + "." + e.name)) return *f;
-        } else if (e.args[0]->kind == Expr::Index) {
-          std::string inst = struct_elem_name(*e.args[0]);
-          if (!inst.empty()) {
-            if (Val* f = lookup(inst + "." + e.name)) return *f;
-            throw EvalError("struct '" +
-                            struct_locals.at(inst) + "' has no field '" +
-                            e.name + "'");
+        // struct field read: `light.dir` / `lights[i].dir` /
+        // `scene.key.dir` resolves the dotted local directly (a trailing
+        // `.x` swizzles the resolved field value below)
+        {
+          std::string path = member_chain(e);
+          if (!path.empty()) {
+            if (Val* f = lookup(path)) return *f;
+            if (struct_locals.count(path))
+              throw EvalError("struct instance '" + path + "' cannot be "
+                              "used as a value here (access its fields)");
+            // a chain rooted at a struct instance with no such leaf:
+            // either a deeper chain (outer member swizzles) or a bad field
+            size_t cut = path.rfind('.');
+            std::string parent = path.substr(0, cut);
+            if (struct_locals.count(parent) && !lookup(parent))
+              throw EvalError("struct '" + struct_locals.at(parent) +
+                              "' has no field '" + e.name + "'");
           }
-        } else if (e.args[0]->kind == Expr::Call) {
+        }
+        if (e.args[0]->kind == Expr::Call) {
           // field of a call result: makeLight().power / Light(...).dir
           const Expr& c = *e.args[0];
           if (sh.struct_types.count(c.name)) {  // constructor result
@@ -1467,6 +1472,10 @@ struct Interp {
                               std::to_string(c.args.size()));
             for (size_t i = 0; i < fields.size(); ++i)
               if (fields[i].second == e.name) {
+                if (sh.struct_types.count(fields[i].first))
+                  throw EvalError("nested struct field '" + e.name +
+                                  "' of a constructor result: assign the "
+                                  "result to a variable first");
                 Val fv = eval(*c.args[i]);
                 coerce_to_type(fv, fields[i].first);
                 return fv;
@@ -1482,9 +1491,15 @@ struct Interp {
             eval_call(c);
             struct_result_ok = saved;
             auto rf = ret_struct_fields.find(e.name);
-            if (rf == ret_struct_fields.end())
+            if (rf == ret_struct_fields.end()) {
+              for (const auto& kv : ret_struct_fields)
+                if (kv.first.rfind(e.name + ".", 0) == 0)
+                  throw EvalError("nested struct field '" + e.name +
+                                  "' of a call result: assign the result "
+                                  "to a variable first");
               throw EvalError("struct '" + fit->second.ret_type +
                               "' has no field '" + e.name + "'");
+            }
             return rf->second;
           }
         }
@@ -1809,23 +1824,22 @@ struct Interp {
       const std::string& ty = struct_locals.at(inst);
       ret_struct_type = ty;
       ret_struct_fields.clear();
-      for (const auto& fld : sh.struct_types.at(ty))
-        ret_struct_fields[fld.second] = locals.at(inst + "." + fld.second);
+      std::vector<std::pair<std::string, std::string>> leaves;
+      struct_leaves(ty, "", leaves);
+      for (const auto& lf : leaves)
+        ret_struct_fields[lf.second] = locals.at(inst + "." + lf.second);
       return true;
     }
     if (e.kind == Expr::Call && sh.struct_types.count(e.name)) {
-      const auto& fields = sh.struct_types.at(e.name);
-      if (e.args.size() != fields.size())
-        throw EvalError("constructor " + e.name + "(...) expects " +
-                        std::to_string(fields.size()) + " arguments, got " +
-                        std::to_string(e.args.size()));
+      // build the value in a reserved temp, then capture its leaves
+      std::string tmp = "__ret_tmp";
+      ctor_into(tmp, e.name, e);
       ret_struct_type = e.name;
       ret_struct_fields.clear();
-      for (size_t i = 0; i < fields.size(); ++i) {
-        Val fv = eval(*e.args[i]);
-        coerce_to_type(fv, fields[i].first);
-        ret_struct_fields[fields[i].second] = fv;
-      }
+      std::vector<std::pair<std::string, std::string>> leaves;
+      struct_leaves(e.name, "", leaves);
+      for (const auto& lf : leaves)
+        ret_struct_fields[lf.second] = locals.at(tmp + "." + lf.second);
       return true;
     }
     if (e.kind == Expr::Call) {  // return makeLight(...);  (chained)
@@ -1868,7 +1882,6 @@ struct Interp {
   // `Light ls[2];` / `Light ls[2] = Light[](Light(...), Light(...));`
   // Elements live as dotted locals "ls.k.field".
   void exec_struct_array_decl(const Stmt& st) {
-    const auto& fields = sh.struct_types.at(st.op);
     int size = st.expr ? index_of(eval(*st.expr), "array size", 0x7fffffff)
                        : int(st.elems.size());
     if (!st.elems.empty() && size != int(st.elems.size()))
@@ -1881,24 +1894,18 @@ struct Interp {
     for (int k = 0; k < size; ++k) {
       std::string prefix = st.name + "." + std::to_string(k);
       if (st.elems.empty()) {
-        for (const auto& fld : fields)
-          locals[prefix + "." + fld.second] = zero_of(fld.first);
+        std::vector<std::pair<std::string, std::string>> leaves;
+        struct_leaves(st.op, "", leaves);
+        for (const auto& lf : leaves)
+          locals[prefix + "." + lf.second] = zero_of(lf.first);
       } else {
         const Expr& el = *st.elems[k];
         if (el.kind != Expr::Call || el.name != st.op)
           throw EvalError("struct array elements must be " + st.op +
                           "(...) constructors");
-        if (el.args.size() != fields.size())
-          throw EvalError("constructor " + st.op + "(...) expects " +
-                          std::to_string(fields.size()) + " arguments, got " +
-                          std::to_string(el.args.size()));
-        for (size_t i = 0; i < fields.size(); ++i) {
-          Val fv = eval(*el.args[i]);
-          coerce_to_type(fv, fields[i].first);
-          locals[prefix + "." + fields[i].second] = fv;
-        }
+        ctor_into(prefix, st.op, el);
       }
-      struct_locals[prefix] = st.op;  // each element acts as an instance
+      register_instance(prefix, st.op);  // each element is an instance
     }
     struct_arrays[st.name] = {st.op, size};
   }
@@ -1915,6 +1922,73 @@ struct Interp {
     return it->first + "." + std::to_string(i);
   }
 
+  // Enumerate the LEAF fields of a struct type as (leaf type, dotted
+  // suffix) — nested struct fields recurse, so `Hit{Material mat; float t}`
+  // yields ("vec3","mat.albedo"), ..., ("float","t").
+  void struct_leaves(const std::string& ty, const std::string& prefix,
+                     std::vector<std::pair<std::string, std::string>>& out) {
+    for (const auto& fld : sh.struct_types.at(ty)) {
+      std::string p =
+          prefix.empty() ? fld.second : prefix + "." + fld.second;
+      if (sh.struct_types.count(fld.first))
+        struct_leaves(fld.first, p, out);
+      else
+        out.emplace_back(fld.first, p);
+    }
+  }
+
+  // Register `name` as an instance of `ty`, plus its nested struct fields
+  // as instances in their own right (so `scene.key = otherLight;` works).
+  void register_instance(const std::string& name, const std::string& ty) {
+    struct_locals[name] = ty;
+    for (const auto& fld : sh.struct_types.at(ty))
+      if (sh.struct_types.count(fld.first))
+        register_instance(name + "." + fld.second, fld.first);
+  }
+
+  // Evaluate a `Ty(...)` constructor into the dotted instance `dst`.
+  // Struct-typed fields accept an instance expression or a nested
+  // constructor call.
+  void ctor_into(const std::string& dst, const std::string& ty,
+                 const Expr& call) {
+    const auto& fields = sh.struct_types.at(ty);
+    if (call.args.size() != fields.size())
+      throw EvalError("constructor " + ty + "(...) expects " +
+                      std::to_string(fields.size()) + " arguments, got " +
+                      std::to_string(call.args.size()));
+    for (size_t i = 0; i < fields.size(); ++i) {
+      const std::string& fty = fields[i].first;
+      std::string fdst = dst + "." + fields[i].second;
+      if (sh.struct_types.count(fty)) {
+        const Expr& a = *call.args[i];
+        if (a.kind == Expr::Call && a.name == fty) {
+          ctor_into(fdst, fty, a);
+        } else if (struct_call_into(a, fdst, fty)) {
+          // struct-returning function as a nested-field argument
+        } else {
+          std::string src = instance_of(a);
+          if (src.empty() || struct_locals.at(src) != fty)
+            throw EvalError("field " + std::to_string(i + 1) + " of " + ty +
+                            "(...) must be a '" + fty + "' instance or " +
+                            fty + "(...) constructor");
+          copy_leaves(fdst, src, fty);
+        }
+      } else {
+        Val fv = eval(*call.args[i]);
+        coerce_to_type(fv, fty);
+        locals[fdst] = fv;
+      }
+    }
+  }
+
+  void copy_leaves(const std::string& dst, const std::string& src,
+                   const std::string& ty) {
+    std::vector<std::pair<std::string, std::string>> leaves;
+    struct_leaves(ty, "", leaves);
+    for (const auto& lf : leaves)
+      locals[dst + "." + lf.second] = locals.at(src + "." + lf.second);
+  }
+
   // Assign a whole struct instance at dotted name `dst` of type `ty` from
   // an rhs expression: another instance, a constructor, or a
   // struct-returning user function.  Only '=' is meaningful.
@@ -1923,17 +1997,8 @@ struct Interp {
     if (op != "=")
       throw EvalError("only '=' is supported for whole-struct assignment");
     if (struct_call_into(rhs, dst, ty)) return;
-    const auto& fields = sh.struct_types.at(ty);
     if (rhs.kind == Expr::Call && rhs.name == ty) {  // ctor rhs
-      if (rhs.args.size() != fields.size())
-        throw EvalError("constructor " + ty + "(...) expects " +
-                        std::to_string(fields.size()) + " arguments, got " +
-                        std::to_string(rhs.args.size()));
-      for (size_t i = 0; i < fields.size(); ++i) {
-        Val fv = eval(*rhs.args[i]);
-        coerce_to_type(fv, fields[i].first);
-        locals[dst + "." + fields[i].second] = fv;
-      }
+      ctor_into(dst, ty, rhs);
       return;
     }
     std::string src = instance_of(rhs);
@@ -1941,8 +2006,7 @@ struct Interp {
       throw EvalError("a struct instance can only be assigned from another "
                       "instance of the same type, a " + ty +
                       "(...) constructor, or a struct-returning function");
-    for (const auto& fld : fields)
-      locals[dst + "." + fld.second] = locals.at(src + "." + fld.second);
+    copy_leaves(dst, src, ty);
   }
 
   // `lights[i] = <instance|ctor|fn>` / `lights[i].field(.swz)? op= expr`
@@ -1991,37 +2055,47 @@ struct Interp {
     }
   }
 
-  // Resolve an expression naming a struct instance — a plain variable or a
-  // struct-array element — to its dotted storage name ("" otherwise).
+  // Resolve an expression naming a struct instance — a plain variable, a
+  // struct-array element, or a nested member chain (`scene.key`) — to its
+  // dotted storage name ("" otherwise).
   std::string instance_of(const Expr& e) {
     if (e.kind == Expr::Var && struct_locals.count(e.name)) return e.name;
+    if (e.kind == Expr::Member) {
+      std::string path = member_chain(e);
+      if (!path.empty() && struct_locals.count(path)) return path;
+      return "";
+    }
     return struct_elem_name(e);
+  }
+
+  // Textual dotted path of a Var/Index/Member chain ("" when the chain is
+  // not rooted at a variable or struct-array element).
+  std::string member_chain(const Expr& e) {
+    if (e.kind == Expr::Var) return e.name;
+    if (e.kind == Expr::Index) return struct_elem_name(e);
+    if (e.kind == Expr::Member) {
+      std::string b = member_chain(*e.args[0]);
+      return b.empty() ? "" : b + "." + e.name;
+    }
+    return "";
   }
 
   // `Light l;` / `Light l = Light(dir, power);` / `Light l2 = l;`
   void exec_struct_decl(const Stmt& st) {
-    const auto& fields = sh.struct_types.at(st.op);
     if (!st.expr) {
-      for (const auto& fld : fields)
-        locals[st.name + "." + fld.second] = zero_of(fld.first);
+      std::vector<std::pair<std::string, std::string>> leaves;
+      struct_leaves(st.op, "", leaves);
+      for (const auto& lf : leaves)
+        locals[st.name + "." + lf.second] = zero_of(lf.first);
     } else if (st.expr->kind == Expr::Call && st.expr->name == st.op) {
-      if (st.expr->args.size() != fields.size())
-        throw EvalError("constructor " + st.op + "(...) expects " +
-                        std::to_string(fields.size()) + " arguments, got " +
-                        std::to_string(st.expr->args.size()));
-      for (size_t i = 0; i < fields.size(); ++i) {
-        Val fv = eval(*st.expr->args[i]);
-        coerce_to_type(fv, fields[i].first);
-        locals[st.name + "." + fields[i].second] = fv;
-      }
+      ctor_into(st.name, st.op, *st.expr);
     } else if (!instance_of(*st.expr).empty()) {
       std::string src = instance_of(*st.expr);
       if (struct_locals.at(src) != st.op)
         throw EvalError("cannot initialize '" + st.op + " " + st.name +
                         "' from a '" + struct_locals.at(src) +
                         "' instance");
-      for (const auto& fld : fields)
-        locals[st.name + "." + fld.second] = locals.at(src + "." + fld.second);
+      copy_leaves(st.name, src, st.op);
     } else if (struct_call_into(*st.expr, st.name, st.op)) {
       // Light l = makeLight(...): fields written by the call's return
     } else {
@@ -2029,7 +2103,7 @@ struct Interp {
                       st.op + "(...) constructor, another " + st.op +
                       " instance, or a " + st.op + "-returning function");
     }
-    struct_locals[st.name] = st.op;
+    register_instance(st.name, st.op);
   }
 
   Val call_user(const Func& f, const Expr& e) {
@@ -2065,9 +2139,11 @@ struct Interp {
         if (inst.empty() || struct_locals.at(inst) != pty)
           throw EvalError("argument " + std::to_string(i + 1) + " of '" +
                           e.name + "' must be a '" + pty + "' instance");
-        for (const auto& fld : sh.struct_types.at(pty))
-          struct_fields[f.param_names[i] + "." + fld.second] =
-              locals.at(inst + "." + fld.second);
+        std::vector<std::pair<std::string, std::string>> leaves;
+        struct_leaves(pty, "", leaves);
+        for (const auto& lf : leaves)
+          struct_fields[f.param_names[i] + "." + lf.second] =
+              locals.at(inst + "." + lf.second);
         struct_args[f.param_names[i]] = pty;
         continue;
       }
@@ -2104,6 +2180,13 @@ struct Interp {
     arrays.swap(arr_args);
     locals.insert(struct_fields.begin(), struct_fields.end());
     struct_locals.swap(struct_args);
+    {
+      // nested struct fields of struct params are instances in their own
+      // right (snapshot first: register_instance mutates struct_locals)
+      std::vector<std::pair<std::string, std::string>> params(
+          struct_locals.begin(), struct_locals.end());
+      for (const auto& kv : params) register_instance(kv.first, kv.second);
+    }
     returned = false;
     ret_val = Val{};
     if (struct_ret) ret_struct_type.clear();
@@ -2193,6 +2276,13 @@ struct Interp {
               for (const auto& fld : fields)
                 if (fld.second == st->swizzle)
                   coerce_to_type(fit->second, fld.first);
+              break;
+            }
+            // nested-instance target: `scene.key = <Light>` (any depth)
+            std::string full = st->name + "." + st->swizzle;
+            if (struct_locals.count(full)) {
+              struct_assign_instance(full, struct_locals.at(full),
+                                     *st->expr, st->op);
               break;
             }
           }

@@ -882,6 +882,48 @@ void main() {
     np.testing.assert_allclose(_read(td / "sr.png"), rgb, atol=1)
 
 
+def test_glsl_nested_structs(io_dir, tmp_path):
+    """Nested struct fields (struct Scene { Light key; ... }): construction
+    incl. through struct-returning functions, deep reads/writes at any
+    depth, nested whole-field assignment, deep instance copies, and nested
+    instances as function arguments."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "nested.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+struct Scene { Light key; Light fill; float ambient; };
+float shade(Scene s) { return s.key.power + s.fill.power + s.ambient; }
+Scene makeScene() {
+    return Scene(Light(vec3(1.0, 0.0, 0.0), 0.5),
+                 Light(vec3(0.0, 1.0, 0.0), 0.25), 0.1);
+}
+void main() {
+    Scene s = makeScene();                 // nested struct return
+    float a = s.key.power + s.fill.power;  // 0.75 (nested reads)
+    s.key.dir.y = 2.0;                     // deep swizzle write
+    s.fill.power += 0.25;                  // nested compound field op
+    Light k = s.key;                       // nested field as instance copy
+    s.fill = Light(vec3(3.0), 0.125);      // nested whole-field assign
+    Scene t;                               // default zeros
+    t = s;                                 // deep copy
+    t.ambient = 0.4;                       // copy is independent
+    float b = shade(s);                    // 0.5 + 0.125 + 0.1
+    float ok = step(abs(a - 0.75) + abs(s.key.dir.y - 2.0)
+                    + abs(k.power - 0.5) + abs(s.fill.dir.x - 3.0)
+                    + abs(b - 0.725) + abs(t.ambient - 0.4)
+                    + abs(t.key.power - 0.5) + abs(s.ambient - 0.1), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "ns.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "ns.png"), rgb, atol=1)
+
+
 def test_glsl_struct_call_field_access(io_dir, tmp_path):
     """Fields of a struct-valued call used directly inside expressions:
     makeLight().power, makeLight().dir.y, Light(...).power."""
@@ -975,8 +1017,10 @@ void main() {
      "float f(float y) { return y; }\n"
      "void main() { float z = f(make()); }",
      "use it to initialize or assign"),
-    ("struct A { float x; };\nstruct B { A inner; };\nvoid main() {}",
-     "nested struct fields are not supported"),
+    ("struct A { float x; };\nA make() { return A(1.0); }\n"
+     "struct B { A inner; };\nB mk() { return B(make()); }\n"
+     "void main() { FragColor = vec4(mk().inner); }",
+     "assign the result to a variable first"),
     ("struct A { float x; };\nvoid main() { A k[0]; }",
      "needs a size in"),
     ("struct A { float x; };\nvoid main() { A a; FragColor = vec4(a); }",
