@@ -893,12 +893,11 @@ struct Parser {
           f.param_types.push_back(ptype);
           f.param_names.push_back(expect_ident());
           if (is_punct("[")) {  // array parameter `float k[9]` (by value)
-            if (struct_names.count(ptype))
-              fail("struct array parameters are not supported ('" + ptype +
-                   " " + f.param_names.back() + "[...]')");
             advance();
             if (!is_punct("]")) parse_expr();  // declared size: unchecked
             expect("]");
+            if (struct_names.count(ptype))
+              f.param_types.back() += "[]";  // struct array marker
           }
           if (is_punct(",")) advance();
         }
@@ -2130,10 +2129,30 @@ struct Interp {
     // fields are copied under the parameter's name in the callee scope
     std::map<std::string, Val> struct_fields;
     std::map<std::string, std::string> struct_args;
+    std::map<std::string, std::pair<std::string, int>> struct_array_args;
     for (size_t i = 0; i < e.args.size(); ++i) {
       const Expr& a = *e.args[i];
       const std::string& pty =
           i < f.param_types.size() ? f.param_types[i] : std::string();
+      if (pty.size() > 2 && pty.compare(pty.size() - 2, 2, "[]") == 0 &&
+          sh.struct_types.count(pty.substr(0, pty.size() - 2))) {
+        // struct ARRAY parameter (by value): copy every element's leaves
+        std::string ety = pty.substr(0, pty.size() - 2);
+        if (a.kind != Expr::Var || !struct_arrays.count(a.name) ||
+            struct_arrays.at(a.name).first != ety)
+          throw EvalError("argument " + std::to_string(i + 1) + " of '" +
+                          e.name + "' must be a '" + ety + "' array");
+        int n = struct_arrays.at(a.name).second;
+        std::vector<std::pair<std::string, std::string>> leaves;
+        struct_leaves(ety, "", leaves);
+        for (int k = 0; k < n; ++k)
+          for (const auto& lf : leaves)
+            struct_fields[f.param_names[i] + "." + std::to_string(k) + "." +
+                          lf.second] =
+                locals.at(a.name + "." + std::to_string(k) + "." + lf.second);
+        struct_array_args[f.param_names[i]] = {ety, n};
+        continue;
+      }
       if (sh.struct_types.count(pty)) {
         std::string inst = instance_of(a);
         if (inst.empty() || struct_locals.at(inst) != pty)
@@ -2175,17 +2194,24 @@ struct Interp {
     bool saved_returned = returned;
     for (size_t i = 0; i < argv.size(); ++i)
       if (!arr_args.count(f.param_names[i]) &&
-          !struct_args.count(f.param_names[i]))
+          !struct_args.count(f.param_names[i]) &&
+          !struct_array_args.count(f.param_names[i]))
         locals[f.param_names[i]] = argv[i];
     arrays.swap(arr_args);
     locals.insert(struct_fields.begin(), struct_fields.end());
     struct_locals.swap(struct_args);
+    struct_arrays = struct_array_args;
     {
       // nested struct fields of struct params are instances in their own
       // right (snapshot first: register_instance mutates struct_locals)
       std::vector<std::pair<std::string, std::string>> params(
           struct_locals.begin(), struct_locals.end());
       for (const auto& kv : params) register_instance(kv.first, kv.second);
+      // struct-array params: each element is an instance
+      for (const auto& kv : struct_array_args)
+        for (int k = 0; k < kv.second.second; ++k)
+          register_instance(kv.first + "." + std::to_string(k),
+                            kv.second.first);
     }
     returned = false;
     ret_val = Val{};

@@ -29,11 +29,12 @@
 // struct fields (deep reads/writes/copies at any depth) — and
 // struct ARRAYS:
 // `Light ls[3]` with per-field/swizzled element writes, whole-element
-// assignment, loop-indexed reads, and elements as function arguments),
+// assignment, loop-indexed reads, elements as function arguments, and
+// by-value struct-array parameters),
 // plus assignment to the declared `out vec4` variable.  Unsupported
 // constructs (whole-struct call results passed as non-struct arguments
-// or chained into nested-field reads, struct array parameters, bitwise
-// `#if` operators) fail with a parse error naming them.  Int literals, int() casts, and `int`-declared variables
+// or chained into nested-field reads, bitwise `#if` operators) fail with
+// a parse error naming them.  Int literals, int() casts, and `int`-declared variables
 // carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
 // and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
 // int-ness, and declared types coerce (float k = 1, float[](1, 2), float

@@ -924,6 +924,37 @@ void main() {
     np.testing.assert_allclose(_read(td / "ns.png"), rgb, atol=1)
 
 
+def test_glsl_struct_array_parameters(io_dir, tmp_path):
+    """By-value struct-array function parameters: the multi-light loop
+    pattern (float total(Light ls[3], int n))."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "sap.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+float total_power(Light ls[3], int n) {
+    float t = 0.0;
+    for (int i = 0; i < n; i++) { t += ls[i].power * ls[i].dir.x; }
+    return t;
+}
+void main() {
+    Light ls[3] = Light[](Light(vec3(1.0), 0.5), Light(vec3(2.0), 0.25),
+                          Light(vec3(1.0), 0.125));
+    float t = total_power(ls, 3);     // 0.5 + 0.5 + 0.125 = 1.125
+    ls[0].power = 9.0;                // by-value: callee saw the copy
+    float u = total_power(ls, 1);     // 9.0
+    float ok = step(abs(t - 1.125) + abs(u - 9.0), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sp.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sp.png"), rgb, atol=1)
+
+
 def test_glsl_struct_call_field_access(io_dir, tmp_path):
     """Fields of a struct-valued call used directly inside expressions:
     makeLight().power, makeLight().dir.y, Light(...).power."""
@@ -1007,9 +1038,10 @@ void main() {
     ("struct A { float x; };\n"
      "void main() { A k[2]; FragColor = vec4(k[0]); }",
      "cannot be used as a value"),
-    ("struct A { float x; };\nfloat f(A k[2]) { return 0.0; }\n"
-     "void main() {}",
-     "struct array parameters are not supported"),
+    ("struct A { float x; };\nstruct B { float y; };\n"
+     "float f(A k[2]) { return k[0].x; }\n"
+     "void main() { B b[2]; FragColor = vec4(f(b)); }",
+     "must be a 'A' array"),
     ("struct A { float x; };\nA make() { return 1.0; }\n"
      "void main() { A a = make(); }",
      "must return a 'A' instance"),
