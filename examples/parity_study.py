@@ -53,7 +53,7 @@ RUNS_DIR = "examples/parity_runs"
 
 
 def jax_framework_run(cfg, train_ds, val_ds, iters, seed,
-                      from_torch_init=False):
+                      from_torch_init=False, matmul_highest=False):
     """One production-trainer run + eval; returns the result dict.
 
     With ``from_torch_init`` the run starts from the SAME torch init the
@@ -61,7 +61,25 @@ def jax_framework_run(cfg, train_ds, val_ds, iters, seed,
     sample_torch_init), pairing seeds across arms so per-seed differencing
     removes init variance from the delta CI (VERDICT r3 item 4).  The alive/
     dead probe then agrees with the reference arm's by construction.
+
+    ``matmul_highest`` runs train AND eval under f32-highest matmul precision
+    — the attribution ablation's "mirror-numerics" cell, leaving only the
+    data/jitter RNG stream and trainer implementation as differences vs the
+    reference arm.
     """
+    import contextlib
+
+    import jax
+
+    ctx = (jax.default_matmul_precision("highest") if matmul_highest
+           else contextlib.nullcontext())
+    with ctx:
+        return _jax_framework_run_inner(cfg, train_ds, val_ds, iters, seed,
+                                        from_torch_init)
+
+
+def _jax_framework_run_inner(cfg, train_ds, val_ds, iters, seed,
+                             from_torch_init):
     import jax
 
     from benchmarks.jax_reference import density_alive_probe
@@ -151,10 +169,14 @@ def mirror_run(cfg, train_ds, val_ds, iters, seed):
 
 
 def collect_arm(name, run_fn, cfg, train_ds, val_ds, iters, n_seeds,
-                start_seed=0, max_probe=24):
+                start_seed=0, max_probe=None):
     """Run (or load cached) seeds until n_seeds alive ones exist; dead seeds
     are recorded and replaced by the next integer (symmetric rule)."""
     os.makedirs(RUNS_DIR, exist_ok=True)
+    if max_probe is None:
+        # the observed dead rate on the parity scene is ~50% (dead_rates.json),
+        # so probing 3x the target is enough headroom at any study scale
+        max_probe = max(24, 3 * n_seeds)
     alive, dead = [], []
     seed = start_seed
     while len(alive) < n_seeds and seed < start_seed + max_probe:
@@ -222,15 +244,19 @@ def main():
                     help="alive seeds per principal arm")
     ap.add_argument("--hier-seeds", type=int, default=3)
     ap.add_argument("--f32-seeds", type=int, default=2)
+    ap.add_argument("--abl-seeds", type=int, default=12,
+                    help="alive seeds per attribution-ablation cell")
     ap.add_argument("--scene", default="examples/procedural_scene")
     ap.add_argument("--out", default="examples/parity_report.json")
     ap.add_argument("--arms", default="all",
                     help="comma list: reference,framework,framework_f32,"
                          "reference_hier,framework_hier,framework_paired,"
-                         "framework_paired_hier (or 'all')")
+                         "framework_paired_hier,framework_paired_hier_f32p,"
+                         "framework_paired_hier_xla32 (or 'all')")
     args = ap.parse_args()
     arms = (["reference", "framework", "framework_f32", "reference_hier",
-             "framework_hier", "framework_paired", "framework_paired_hier"]
+             "framework_hier", "framework_paired", "framework_paired_hier",
+             "framework_paired_hier_f32p", "framework_paired_hier_xla32"]
             if args.arms == "all" else args.arms.split(","))
 
     import jax
@@ -249,6 +275,24 @@ def main():
     import functools
 
     paired_run = functools.partial(jax_framework_run, from_torch_init=True)
+    # Attribution-ablation cells (VERDICT r4 item 1): walk the paired-hier
+    # arm toward the reference arm's numerics one factor at a time, keeping
+    # the same torch init per seed so every step is a PAIRED comparison.
+    #   A  framework_paired_hier        bf16 + Pallas fused   (production)
+    #   B1 framework_paired_hier_f32p   f32  + Pallas fused   (A-B1 = bf16)
+    #   B2 framework_paired_hier_xla32  f32-highest XLA path  (B1-B2 = kernels)
+    #   C  reference_hier               mirror               (B2-C = RNG/
+    #                                                         trainer impl)
+    # The two factors VERDICT also named are identical BY CONSTRUCTION in
+    # both trainers and need no cell: batch sampling is single-image-per-step
+    # on both sides (data/dataset.py sample_ray_batch single_image=True
+    # default; reference src/dataset.py:250) and the hier loss is
+    # mse(fine) + 1.0*mse(coarse) on both (trainer loss_fn / mirror _loss).
+    cfg_f32p_h = base.replace(use_bf16=False, use_pallas=on_tpu)   # 64+64
+    cfg_xla32_h = base.replace(use_bf16=False, use_pallas=False)   # 64+64
+    abl_f32p = functools.partial(jax_framework_run, from_torch_init=True)
+    abl_xla32 = functools.partial(jax_framework_run, from_torch_init=True,
+                                  matmul_highest=True)
     plan = {
         "reference": (mirror_run, cfg_ref, args.seeds),
         "framework": (jax_framework_run, cfg_fw, args.seeds),
@@ -259,6 +303,8 @@ def main():
         # differencing removes init variance from the delta (VERDICT item 4)
         "framework_paired": (paired_run, cfg_fw, args.seeds),
         "framework_paired_hier": (paired_run, cfg_fw_h, args.hier_seeds),
+        "framework_paired_hier_f32p": (abl_f32p, cfg_f32p_h, args.abl_seeds),
+        "framework_paired_hier_xla32": (abl_xla32, cfg_xla32_h, args.abl_seeds),
     }
 
     results, dead_log = {}, {}
@@ -335,6 +381,51 @@ def main():
 
     paired_delta("framework_paired", "reference", "delta_paired_coarse")
     paired_delta("framework_paired_hier", "reference_hier", "delta_paired_hier")
+
+    # --- attribution of the unpaired hier delta (VERDICT r4 item 1) ---
+    # delta_hier (framework_hier - reference_hier) decomposes EXACTLY into
+    # arm-mean differences along the ablation chain:
+    #   init_family + bf16 + kernel_path + sampling_trainer_residual
+    # where the last three are computed on shared-init seed pairs.
+    paired_delta("framework_paired_hier", "framework_paired_hier_f32p",
+                 "attribution_bf16")
+    paired_delta("framework_paired_hier_f32p", "framework_paired_hier_xla32",
+                 "attribution_kernel_path")
+    paired_delta("framework_paired_hier_xla32", "reference_hier",
+                 "attribution_sampling_trainer_residual")
+    if results.get("framework_hier") and results.get("framework_paired_hier"):
+        report["attribution_init_family"] = welch(
+            [r["val_psnr"] for r in results["framework_hier"]],
+            [r["val_psnr"] for r in results["framework_paired_hier"]])
+        report["attribution_init_family"]["design"] = (
+            "unpaired (init families differ by definition): production "
+            "trainer from jax-family inits vs from torch-family inits; "
+            "includes each family's alive-seed selection")
+    abl_keys = ["attribution_init_family", "attribution_bf16",
+                "attribution_kernel_path",
+                "attribution_sampling_trainer_residual"]
+    if all(k in report for k in abl_keys):
+        report["attribution"] = {
+            "question": "what produces delta_hier (framework defaults minus "
+                        "reference semantics, unpaired)?",
+            "factors_identical_by_construction": {
+                "batch_sampling": "single-image-per-step on BOTH sides "
+                                  "(sample_ray_batch single_image=True; "
+                                  "reference src/dataset.py:250)",
+                "hier_loss": "mse(fine) + 1.0*mse(coarse) on BOTH sides "
+                             "(trainer loss_fn; mirror _loss)",
+            },
+            "per_factor_delta_db": {k.replace("attribution_", ""):
+                                    report[k]["delta"] for k in abl_keys},
+            "per_factor_ci95": {k.replace("attribution_", ""):
+                                report[k].get("ci95") for k in abl_keys},
+            "factor_sum_db": float(sum(report[k]["delta"] for k in abl_keys)),
+            "delta_hier_db": report.get("delta_hier", {}).get("delta"),
+            "note": "factor_sum equals delta_hier exactly only when every "
+                    "arm is evaluated on its own full alive-seed set; with "
+                    "shared seed subsets the paired terms are unbiased "
+                    "estimates of the same chain",
+        }
 
     # merge real-torch gold anchors when available
     anchors = []

@@ -255,8 +255,9 @@ struct Lexer {
       if (i >= s.size()) fail("unexpected end");
       long v;
       if (eat("!")) { v = !primary(); --*depth; return v; }
+      if (eat("~")) { v = ~primary(); --*depth; return v; }
       if (eat("(")) {
-        v = or_();
+        v = cond();
         if (!eat(")")) fail("missing ')'");
         --*depth;
         return v;
@@ -297,7 +298,7 @@ struct Lexer {
           }
           if (!self) {
             CondParser sub(body, lx, depth);
-            long r = sub.or_();
+            long r = sub.cond();
             sub.ws();
             if (sub.i < body.size()) sub.fail("trailing tokens");
             --*depth;
@@ -338,17 +339,35 @@ struct Lexer {
         else return v;
       }
     }
-    long rel() {
+    long shift() {
       long v = add();
       for (;;) {
         ws();
-        if (eat("<=")) v = v <= add();
-        else if (eat(">=")) v = v >= add();
-        // bare < and > must not consume the first char of <= / >= (already
-        // tried) nor of << / >> (unsupported: loud error via primary)
-        else if (i < s.size() && s[i] == '<') { ++i; v = v < add(); }
-        else if (i < s.size() && s[i] == '>') { ++i; v = v > add(); }
+        if (eat("<<")) v <<= add();
+        else if (eat(">>")) v >>= add();
         else return v;
+      }
+    }
+    long rel() {
+      long v = shift();
+      for (;;) {
+        ws();
+        if (eat("<=")) v = v <= shift();
+        else if (eat(">=")) v = v >= shift();
+        // bare < and > must not consume the first char of <= / >= (already
+        // tried) nor of << / >> (consumed by shift() above; the guard keeps
+        // a stray second angle from being misread as a comparison)
+        else if (i < s.size() && s[i] == '<' &&
+                 (i + 1 >= s.size() || s[i + 1] != '<')) {
+          ++i;
+          v = v < shift();
+        } else if (i < s.size() && s[i] == '>' &&
+                   (i + 1 >= s.size() || s[i + 1] != '>')) {
+          ++i;
+          v = v > shift();
+        } else {
+          return v;
+        }
       }
     }
     long eq() {
@@ -360,12 +379,48 @@ struct Lexer {
         else return v;
       }
     }
-    long and_() {
+    // bitwise & ^ | sit between == and && in C precedence; single & / |
+    // must not consume the first char of && / ||
+    long bitand_() {
       long v = eq();
+      for (;;) {
+        ws();
+        if (i < s.size() && s[i] == '&' &&
+            (i + 1 >= s.size() || s[i + 1] != '&')) {
+          ++i;
+          v &= eq();
+        } else {
+          return v;
+        }
+      }
+    }
+    long bitxor_() {
+      long v = bitand_();
+      for (;;) {
+        ws();
+        if (eat("^")) v ^= bitand_();
+        else return v;
+      }
+    }
+    long bitor_() {
+      long v = bitxor_();
+      for (;;) {
+        ws();
+        if (i < s.size() && s[i] == '|' &&
+            (i + 1 >= s.size() || s[i + 1] != '|')) {
+          ++i;
+          v |= bitxor_();
+        } else {
+          return v;
+        }
+      }
+    }
+    long and_() {
+      long v = bitor_();
       while (true) {
         ws();
         if (!eat("&&")) return v;
-        long r = eq();
+        long r = bitor_();
         v = (v != 0 && r != 0) ? 1 : 0;
       }
     }
@@ -378,12 +433,26 @@ struct Lexer {
         v = (v != 0 || r != 0) ? 1 : 0;
       }
     }
+    long cond() {  // C ternary, right-associative
+      long v = or_();
+      ws();
+      if (i < s.size() && s[i] == '?' &&
+          (i + 1 >= s.size() || s[i + 1] != ':')) {
+        ++i;
+        long a = cond();
+        ws();
+        if (!eat(":")) fail("missing ':' in '?:'");
+        long b = cond();
+        return v != 0 ? a : b;
+      }
+      return v;
+    }
   };
 
   bool eval_condition(std::string cond) {
     int depth = 0;
     CondParser p(cond, this, &depth);
-    long v = p.or_();
+    long v = p.cond();
     p.ws();
     if (p.i < cond.size())
       p.fail("trailing tokens");
@@ -1459,47 +1528,76 @@ struct Interp {
                               "' has no field '" + e.name + "'");
           }
         }
-        if (e.args[0]->kind == Expr::Call) {
-          // field of a call result: makeLight().power / Light(...).dir
-          const Expr& c = *e.args[0];
-          if (sh.struct_types.count(c.name)) {  // constructor result
-            const auto& fields = sh.struct_types.at(c.name);
-            if (c.args.size() != fields.size())
-              throw EvalError("constructor " + c.name + "(...) expects " +
-                              std::to_string(fields.size()) +
-                              " arguments, got " +
-                              std::to_string(c.args.size()));
-            for (size_t i = 0; i < fields.size(); ++i)
-              if (fields[i].second == e.name) {
-                if (sh.struct_types.count(fields[i].first))
-                  throw EvalError("nested struct field '" + e.name +
-                                  "' of a constructor result: assign the "
-                                  "result to a variable first");
-                Val fv = eval(*c.args[i]);
-                coerce_to_type(fv, fields[i].first);
-                return fv;
-              }
-            throw EvalError("struct '" + c.name + "' has no field '" +
-                            e.name + "'");
+        {
+          // field read chained through a struct-valued call result, at any
+          // depth, with an optional trailing swizzle: makeLight().power /
+          // Light(...).dir / makeScene().key.power / mk().inner.color.xy
+          std::vector<std::string> segs{e.name};
+          const Expr* root = e.args[0].get();
+          while (root->kind == Expr::Member) {
+            segs.push_back(root->name);
+            root = root->args[0].get();
           }
-          auto fit = sh.functions.find(c.name);
-          if (fit != sh.functions.end() &&
-              sh.struct_types.count(fit->second.ret_type)) {
-            bool saved = struct_result_ok;
-            struct_result_ok = true;
-            eval_call(c);
-            struct_result_ok = saved;
-            auto rf = ret_struct_fields.find(e.name);
-            if (rf == ret_struct_fields.end()) {
-              for (const auto& kv : ret_struct_fields)
-                if (kv.first.rfind(e.name + ".", 0) == 0)
-                  throw EvalError("nested struct field '" + e.name +
-                                  "' of a call result: assign the result "
-                                  "to a variable first");
-              throw EvalError("struct '" + fit->second.ret_type +
-                              "' has no field '" + e.name + "'");
+          if (root->kind == Expr::Call) {
+            const Expr& c = *root;
+            bool is_ctor = sh.struct_types.count(c.name) > 0;
+            auto fit = sh.functions.find(c.name);
+            bool is_sfn = !is_ctor && fit != sh.functions.end() &&
+                          sh.struct_types.count(fit->second.ret_type) > 0;
+            if (is_ctor || is_sfn) {
+              const std::string& ty =
+                  is_ctor ? c.name : fit->second.ret_type;
+              std::string suffix;  // dotted path, outermost segment last
+              for (auto it = segs.rbegin(); it != segs.rend(); ++it)
+                suffix += (suffix.empty() ? "" : ".") + *it;
+              std::map<std::string, Val> leaf_vals;
+              if (is_ctor) {
+                // materialize the constructor's leaves in a reserved temp
+                ctor_into("__fld_tmp", ty, c);
+                std::vector<std::pair<std::string, std::string>> leaves;
+                struct_leaves(ty, "", leaves);
+                for (const auto& lf : leaves)
+                  leaf_vals[lf.second] = locals.at("__fld_tmp." + lf.second);
+              } else {
+                bool saved = struct_result_ok;
+                struct_result_ok = true;
+                eval_call(c);
+                struct_result_ok = saved;
+                leaf_vals = ret_struct_fields;
+              }
+              auto rf = leaf_vals.find(suffix);
+              if (rf != leaf_vals.end()) return rf->second;
+              // trailing swizzle on a leaf field
+              size_t dot = suffix.rfind('.');
+              if (dot != std::string::npos) {
+                auto pf = leaf_vals.find(suffix.substr(0, dot));
+                if (pf != leaf_vals.end()) {
+                  const std::string swz = suffix.substr(dot + 1);
+                  const Val& base = pf->second;
+                  if (base.mat)
+                    throw EvalError("cannot swizzle a matrix field");
+                  Val out;
+                  out.n = int(swz.size());
+                  out.is_int = base.is_int;
+                  if (out.n > 4)
+                    throw EvalError("swizzle too long: ." + swz);
+                  for (int k = 0; k < out.n; ++k) {
+                    int idx = swizzle_index(swz[k]);
+                    if (idx >= base.n)
+                      throw EvalError("swizzle ." + swz + " out of range");
+                    out.v[k] = base.v[idx];
+                  }
+                  return out;
+                }
+              }
+              for (const auto& kv : leaf_vals)
+                if (kv.first.rfind(suffix + ".", 0) == 0)
+                  throw EvalError("struct-typed field '" + suffix + "' of a " +
+                                  ty + " call result cannot be used as a "
+                                  "value here (access its fields)");
+              throw EvalError("struct '" + ty + "' has no field '" +
+                              suffix + "'");
             }
-            return rf->second;
           }
         }
         Val base = eval(*e.args[0]);
@@ -2008,7 +2106,19 @@ struct Interp {
     copy_leaves(dst, src, ty);
   }
 
-  // `lights[i] = <instance|ctor|fn>` / `lights[i].field(.swz)? op= expr`
+  // Declared type of the leaf field at dotted `path` inside struct `ty`
+  // ("" when the path does not name a leaf field).
+  std::string field_type_of(const std::string& ty, const std::string& path) {
+    std::vector<std::pair<std::string, std::string>> leaves;
+    struct_leaves(ty, "", leaves);
+    for (const auto& lf : leaves)
+      if (lf.second == path) return lf.first;
+    return "";
+  }
+
+  // `lights[i] = <instance|ctor|fn>` /
+  // `lights[i].field(.nested)*(.swz)? op= expr` — field paths resolve at any
+  // nesting depth, matching the non-array Assign path.
   void exec_struct_array_assign(const Stmt& st) {
     const auto& arr = struct_arrays.at(st.name);
     int i = index_of(eval(*st.index),
@@ -2018,17 +2128,27 @@ struct Interp {
       struct_assign_instance(inst, arr.first, *st.expr, st.op);
       return;
     }
-    // split "field" / "field.swz"
-    std::string field = st.swizzle, swz;
-    size_t dot = field.find('.');
-    if (dot != std::string::npos) {
-      swz = field.substr(dot + 1);
-      field = field.substr(0, dot);
+    // whole-nested-instance target: `arr[i].inner = <Inner>`
+    std::string full = inst + "." + st.swizzle;
+    if (struct_locals.count(full)) {
+      struct_assign_instance(full, struct_locals.at(full), *st.expr, st.op);
+      return;
     }
-    auto fit = locals.find(inst + "." + field);
+    // leaf-field target (any depth): `arr[i].inner.field op= expr`, else
+    // split a trailing swizzle: `arr[i].inner.field.xy op= expr`
+    std::string field = st.swizzle, swz;
+    auto fit = locals.find(full);
+    if (fit == locals.end()) {
+      size_t dot = field.rfind('.');
+      if (dot != std::string::npos) {
+        swz = field.substr(dot + 1);
+        field = field.substr(0, dot);
+        fit = locals.find(inst + "." + field);
+      }
+    }
     if (fit == locals.end())
-      throw EvalError("struct '" + arr.first + "' has no field '" + field +
-                      "'");
+      throw EvalError("struct '" + arr.first + "' has no field path '" +
+                      st.swizzle + "'");
     Val rhs = eval(*st.expr);
     if (swz.empty()) {
       if (st.op == "=") {
@@ -2036,8 +2156,8 @@ struct Interp {
       } else {
         fit->second = arith(fit->second, rhs, std::string(1, st.op[0]));
       }
-      for (const auto& fld : sh.struct_types.at(arr.first))
-        if (fld.second == field) coerce_to_type(fit->second, fld.first);
+      std::string fty = field_type_of(arr.first, field);
+      if (!fty.empty()) coerce_to_type(fit->second, fty);
       return;
     }
     for (size_t k = 0; k < swz.size(); ++k) {
@@ -2155,9 +2275,20 @@ struct Interp {
       }
       if (sh.struct_types.count(pty)) {
         std::string inst = instance_of(a);
-        if (inst.empty() || struct_locals.at(inst) != pty)
+        if (!inst.empty() && struct_locals.at(inst) != pty)
           throw EvalError("argument " + std::to_string(i + 1) + " of '" +
                           e.name + "' must be a '" + pty + "' instance");
+        if (inst.empty()) {
+          // a constructor or struct-returning call as the argument: build
+          // the value into a reserved temp, then pass its leaves by value
+          std::string tmp = "__arg_tmp" + std::to_string(i);
+          if (a.kind == Expr::Call && a.name == pty)
+            ctor_into(tmp, pty, a);
+          else if (!struct_call_into(a, tmp, pty))
+            throw EvalError("argument " + std::to_string(i + 1) + " of '" +
+                            e.name + "' must be a '" + pty + "' instance");
+          inst = tmp;
+        }
         std::vector<std::pair<std::string, std::string>> leaves;
         struct_leaves(pty, "", leaves);
         for (const auto& lf : leaves)
@@ -2215,7 +2346,7 @@ struct Interp {
     }
     returned = false;
     ret_val = Val{};
-    if (struct_ret) ret_struct_type.clear();
+    ret_struct_type.clear();
     exec(f.body);
     Val result = ret_val;
     if (!returned && f.ret_type != "void")
@@ -2226,6 +2357,10 @@ struct Interp {
                       (ret_struct_type.empty()
                            ? std::string(" (returned a non-struct value)")
                            : " (returned '" + ret_struct_type + "')"));
+    if (!struct_ret && !ret_struct_type.empty())
+      throw EvalError("function '" + e.name + "' is declared '" + f.ret_type +
+                      "' but returned a '" + ret_struct_type +
+                      "' struct instance");
     locals.swap(saved_locals);
     arrays.swap(saved_arrays);
     struct_locals.swap(saved_structs);
@@ -2466,6 +2601,10 @@ struct Interp {
             returned = true;
             return;
           }
+          // a non-struct return: clear any capture left by an inner call so
+          // call_user can tell whether THIS function's final return was a
+          // struct (declared-type mismatch check)
+          ret_struct_type.clear();
           ret_val = st->expr ? eval(*st->expr) : Val{};
           returned = true;
           return;

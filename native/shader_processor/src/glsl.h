@@ -20,21 +20,27 @@
 // only when followed by '(', arguments nest, bare names left alone),
 // preprocessor conditionals (`#ifdef`/`#ifndef`/`#else`/`#endif`,
 // `#if`/`#elif` with full C integer constant expressions — arithmetic,
-// comparisons, &&/||/!, defined(NAME), macro indirection, undefined
-// identifiers = 0 per ISO C 6.10.1 — and `#undef`), user `struct` types
+// shifts, bitwise &/^/|/~, comparisons, &&/||/!, `?:`, defined(NAME),
+// macro indirection, undefined identifiers = 0 per ISO C 6.10.1 — and
+// `#undef`), user `struct` types
 // (definition, constructor initializer, field read/write incl. swizzled
 // components and compound ops, instance copy/assign, by-value struct
-// function parameters AND return values (consumed by a declaration,
-// an assignment, or direct field access like makeLight().power), NESTED
-// struct fields (deep reads/writes/copies at any depth) — and
+// function parameters AND return values (consumed by a declaration, an
+// assignment, a struct-typed argument slot like shade(makeLight()), or a
+// field-chain read at any depth with optional trailing swizzle —
+// makeLight().power, makeScene().key.color.xy), NESTED
+// struct fields (deep reads/writes/copies at any depth, incl. through
+// struct-array elements: `arr[i].inner.field = v`) — and
 // struct ARRAYS:
 // `Light ls[3]` with per-field/swizzled element writes, whole-element
 // assignment, loop-indexed reads, elements as function arguments, and
 // by-value struct-array parameters),
-// plus assignment to the declared `out vec4` variable.  Unsupported
-// constructs (whole-struct call results passed as non-struct arguments
-// or chained into nested-field reads, bitwise `#if` operators) fail with
-// a parse error naming them.  Int literals, int() casts, and `int`-declared variables
+// plus assignment to the declared `out vec4` variable.  Genuinely invalid
+// GLSL still fails loudly: a whole struct used as a value (vec4(inst), a
+// struct result bound to a non-struct parameter), and a function declared
+// with a non-struct return type that executes `return structInstance;`,
+// each produce a parse/eval error naming the construct.
+// Int literals, int() casts, and `int`-declared variables
 // carry GLSL int semantics: int-int {+,-,*,/,%} stays int with truncating /
 // and %, ivec swizzles/component reads and abs/sign/min/max/clamp preserve
 // int-ness, and declared types coerce (float k = 1, float[](1, 2), float

@@ -753,7 +753,11 @@ void main() {
      "without a matching #if"),
     ("#if 1 &&\nvoid main() {}\n#endif",
      "bad #if condition"),
-    ("#if 3 & 1\nvoid main() {}\n#endif",
+    ("#if 3 @ 1\nvoid main() {}\n#endif",
+     "bad #if condition"),
+    ("#if 1 ? 2\nvoid main() {}\n#endif",
+     "missing ':' in '?:'"),
+    ("#if 1 >> \nvoid main() {}\n#endif",
      "bad #if condition"),
     ("#define A B\n#define B A\n#if A\nvoid main() {}\n#endif",
      "expression too deep"),
@@ -1052,7 +1056,19 @@ void main() {
     ("struct A { float x; };\nA make() { return A(1.0); }\n"
      "struct B { A inner; };\nB mk() { return B(make()); }\n"
      "void main() { FragColor = vec4(mk().inner); }",
-     "assign the result to a variable first"),
+     "cannot be used as a value"),
+    ("struct A { float x; };\n"
+     "float bad() { A a; a.x = 0.75; return a; }\n"
+     "void main() { FragColor = vec4(bad()); }",
+     "declared 'float' but returned a 'A' struct instance"),
+    ("struct A { float x; };\nstruct B { float y; };\n"
+     "B mkb() { return B(1.0); }\n"
+     "float f(A a) { return a.x; }\n"
+     "void main() { FragColor = vec4(f(mkb())); }",
+     "result of mkb()"),
+    ("struct A { float x; };\nA make() { return A(1.0); }\n"
+     "void main() { FragColor = vec4(make().x.y); }",
+     "out of range"),
     ("struct A { float x; };\nvoid main() { A k[0]; }",
      "needs a size in"),
     ("struct A { float x; };\nvoid main() { A a; FragColor = vec4(a); }",
@@ -1493,3 +1509,147 @@ void main() {
               "--output", str(td / "ix.png")])
     assert r.returncode == 0, r.stderr
     np.testing.assert_allclose(_read(td / "ix.png"), rgb, atol=1)
+
+
+def test_glsl_if_bitwise_operators(io_dir, tmp_path):
+    """Bitwise &/|/^/~, shifts, and ?: inside #if expressions — the last
+    documented preprocessor delta vs the reference's real GL compiler
+    (/root/reference/shader_processor/src/shader.cpp:3-62)."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "ifbit.frag"
+    frag.write_text("""
+#define FLAGS 5
+#define MASK 4
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    float gain = 1.0;
+#if FLAGS & MASK
+    gain = gain * 1.0;          // taken: 5 & 4 == 4
+#else
+    gain = 0.0;
+#endif
+#if (FLAGS | 2) == 7 && (FLAGS ^ 1) == 4
+    gain = gain * 1.0;          // taken
+#else
+    gain = 0.0;
+#endif
+#if (1 << 3) == 8 && (FLAGS >> 1) == 2
+    gain = gain * 1.0;          // taken
+#else
+    gain = 0.0;
+#endif
+#if (~0 & 1) == 1
+    gain = gain * 1.0;          // taken: ~0 is all-ones
+#else
+    gain = 0.0;
+#endif
+#if (FLAGS & 2 ? 10 : 20) == 20
+    gain = gain * 1.0;          // taken: 5 & 2 == 0 -> the : arm -> 20
+#else
+    gain = 0.0;
+#endif
+#if 1 ? 0 : 1
+    gain = 0.0;                 // skipped: ternary picks the 0 arm
+#endif
+    FragColor = vec4(c * gain, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "ib.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "ib.png"), rgb, atol=1)
+
+
+def test_glsl_struct_call_chains(io_dir, tmp_path):
+    """Nested-field chains on struct-valued call results, at any depth and
+    with trailing swizzles: makeScene().key.power, Scene(...).key.dir.xy."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "schain.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+struct Scene { Light key; Light fill; };
+Light makeLight(float p) { return Light(vec3(1.0, 2.0, 3.0), p); }
+Scene makeScene() { return Scene(makeLight(0.5), Light(vec3(9.0), 0.25)); }
+void main() {
+    float a = makeScene().key.power;                   // 0.5
+    float b = makeScene().fill.dir.x;                  // 9.0
+    vec2 c = makeScene().key.dir.zy;                   // (3, 2)
+    float d = Scene(Light(vec3(7.0), 1.5), makeLight(2.0)).key.dir.x;  // 7
+    float e = Scene(Light(vec3(7.0), 1.5), makeLight(2.0)).fill.power; // 2
+    float ok = step(abs(a - 0.5) + abs(b - 9.0) + abs(c.x - 3.0)
+                    + abs(c.y - 2.0) + abs(d - 7.0) + abs(e - 2.0), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sn.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sn.png"), rgb, atol=1)
+
+
+def test_glsl_struct_call_as_argument(io_dir, tmp_path):
+    """Struct-valued call results bound to struct-typed parameters:
+    shade(makeLight(...)), shade(Light(...)) — by-value, like instances."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "sarg.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Light { vec3 dir; float power; };
+Light makeLight(float p) { return Light(vec3(1.0, 2.0, 3.0), p); }
+float shade(Light l) { return l.power * l.dir.y; }
+float two(Light a, Light b) { return a.power + b.power; }
+void main() {
+    float a = shade(makeLight(0.5));                   // 0.5 * 2 = 1.0
+    float b = shade(Light(vec3(0.0, 4.0, 0.0), 0.25)); // 0.25 * 4 = 1.0
+    float c = two(makeLight(0.125), Light(vec3(0.0), 0.375));  // 0.5
+    float ok = step(abs(a - 1.0) + abs(b - 1.0) + abs(c - 0.5), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sg.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sg.png"), rgb, atol=1)
+
+
+def test_glsl_struct_array_nested_fields(io_dir, tmp_path):
+    """Nested-struct field access through struct-array elements — reads AND
+    writes at any depth (`arr[i].inner.field = v`), whole nested-instance
+    element assignment, and swizzled deep writes."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "sanest.frag"
+    frag.write_text("""
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+struct Material { vec3 albedo; float rough; };
+struct Hit { Material mat; float t; };
+void main() {
+    Hit hits[2];
+    hits[0].mat.albedo = vec3(0.25, 0.5, 0.75);  // deep field write
+    hits[0].mat.rough = 0.5;
+    hits[0].t = 1.5;
+    hits[1] = Hit(Material(vec3(1.0), 0.125), 3.0);
+    hits[1].mat.albedo.x = 0.375;                // swizzled deep write
+    hits[1].mat.rough += 0.125;                  // compound deep write
+    hits[0].mat = Material(vec3(0.25, 0.5, 0.75), 0.625);  // nested assign
+    float ok = step(abs(hits[0].mat.albedo.y - 0.5)
+                    + abs(hits[0].mat.rough - 0.625)
+                    + abs(hits[1].mat.albedo.x - 0.375)
+                    + abs(hits[1].mat.rough - 0.25)
+                    + abs(hits[0].t - 1.5), 0.001);
+    FragColor = vec4(texture(u_texture, v_texCoord).rgb * ok, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "sx.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "sx.png"), rgb, atol=1)
