@@ -22,7 +22,30 @@ import numpy as np
 
 _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native", "shader_processor")
-DEFAULT_BINARY = os.path.join(_NATIVE_DIR, "build", "shader_processor")
+
+
+def _default_binary() -> str:
+    """Resolve the native binary: $DANERF_SHADER_PROCESSOR, then the repo
+    checkout's build tree, then a `shader_processor` on PATH.
+
+    The wheel ships only the Python package (pyproject packages.find), so a
+    non-editable install has no native sources next to it; pointing the env
+    var at a separately built binary (or installing one on PATH) gives
+    pip-installed users the native path instead of the silent fx fallback.
+    """
+    env = os.environ.get("DANERF_SHADER_PROCESSOR")
+    if env:
+        return env
+    checkout = os.path.join(_NATIVE_DIR, "build", "shader_processor")
+    if os.path.exists(checkout) or os.path.isdir(_NATIVE_DIR):
+        return checkout  # built, or buildable in-place by ensure_built
+    import shutil
+
+    on_path = shutil.which("shader_processor")
+    return on_path or checkout
+
+
+DEFAULT_BINARY = _default_binary()
 
 # Shader files written on first run.  GLSL-shaped for compatibility with
 # GL-capable consumers, with directives the headless tool executes.

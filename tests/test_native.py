@@ -337,6 +337,19 @@ def test_non_glsl_file_rejected(io_dir, tmp_path):
 
 # ------------------------------------------------------------------ bridge
 
+def test_bridge_env_var_binary_lookup(tmp_path, monkeypatch):
+    """$DANERF_SHADER_PROCESSOR points a pip-installed (checkout-less)
+    package at a separately built binary — _default_binary honors it first."""
+    from danerf_tpu.native import bridge as bridge_mod
+
+    monkeypatch.setenv("DANERF_SHADER_PROCESSOR", str(tmp_path / "sp"))
+    assert bridge_mod._default_binary() == str(tmp_path / "sp")
+    monkeypatch.delenv("DANERF_SHADER_PROCESSOR")
+    # in this checkout the build-tree path wins
+    assert bridge_mod._default_binary().endswith(
+        os.path.join("build", "shader_processor"))
+
+
 def test_bridge_writes_default_shaders(tmp_path):
     b = ShaderBridge(shader_dir=str(tmp_path / "shaders"))
     names = b.available_shaders()

@@ -134,10 +134,12 @@ def test_ssim_standard_window_properties():
 def test_ssim_matches_independent_scipy_reference():
     """Cross-check against a from-scratch scipy implementation of Wang et
     al. 2004 (2D correlate with an outer-product Gaussian window, population
-    statistics, valid region).  Unlike the skimage check below this never
-    skips: scipy is always present, and its correlate2d shares no code with
-    the separable filter in danerf_tpu.train.metrics."""
-    from scipy.signal import correlate2d
+    statistics, valid region).  scipy ships in the dev extra (pyproject) and
+    its correlate2d shares no code with the separable filter in
+    danerf_tpu.train.metrics; importorskip keeps a deps-only install green."""
+    scipy_signal = pytest.importorskip(
+        "scipy.signal", reason="scipy not installed (pip install .[dev])")
+    correlate2d = scipy_signal.correlate2d
 
     from danerf_tpu.train.metrics import ssim
 
