@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "start the head alive)")
     t.add_argument("--no_pallas", action="store_true",
                    help="disable the fused Pallas kernel (on by default on TPU)")
+    t.add_argument("--white_background", action="store_true",
+                   help="composite RGBA training targets over white and "
+                        "render with a white background (the nerf_synthetic "
+                        "convention; reference src/dataset.py:159-161 splits "
+                        "alpha without compositing)")
+    t.add_argument("--use_time", action="store_true",
+                   help="train the time-conditioned AnimatedNeRF variant "
+                        "(reference src/models.py:165-265, declared but "
+                        "unrunnable there); needs a dataset with per-image "
+                        "times — the procedural time-varying scene supplies "
+                        "them when no Blender data is present")
     # multi-host runtime (jax.distributed.initialize; SURVEY.md §5.8).  On a
     # TPU pod all three may be omitted if any one is passed as 'auto'.
     t.add_argument("--coordinator_address", type=str, default=None,
@@ -90,6 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--mesh_data", type=int, default=1,
                    help="shard each frame's rays over this many devices "
                         "(0 = all devices)")
+    r.add_argument("--white_background", action="store_true",
+                   help="fill acc<1 rays with white (match a model trained "
+                        "with --white_background)")
+    r.add_argument("--use_time", action="store_true",
+                   help="render an AnimatedNeRF checkpoint (time-conditioned)")
+    r.add_argument("--time", type=float, default=None,
+                   help="fixed frame time in [0,1] for --use_time renders")
+    r.add_argument("--animate_time", action="store_true",
+                   help="sweep t from 0 to 1 across the rendered frames")
 
     # ---- spiral (reference render_aligned_spiral.py) ----
     s = sub.add_parser("spiral", help="aligned spiral render + video")
@@ -136,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "the right half")
     ev.add_argument("--opt_steps", type=int, default=50,
                     help="embedding-optimization steps per view")
+    ev.add_argument("--use_time", action="store_true",
+                    help="evaluate an AnimatedNeRF checkpoint (per-view "
+                         "times come from the dataset)")
+    ev.add_argument("--white_background", action="store_true",
+                    help="score against white-composited GT and render with "
+                         "a white background")
 
     # ---- preview (headless replacement for the Tk/moderngl editors) ----
     pv = sub.add_parser("preview", help="parameter-sweep effect previews")
@@ -172,6 +198,10 @@ def _make_config(args):
         over["density_activation"] = args.density_activation
     if getattr(args, "density_bias_init", None) is not None:
         over["density_bias_init"] = args.density_bias_init
+    if getattr(args, "use_time", False):
+        over["use_time"] = True
+    if getattr(args, "white_background", False):
+        over["white_background"] = True
     # fused kernel by default on real TPU (fastest path, 20x faster compiles);
     # CPU keeps XLA (pallas would run interpreted there)
     if jax.default_backend() == "tpu" and not getattr(args, "no_pallas", False):
@@ -272,11 +302,12 @@ def cmd_train(args):
     x = jax.random.normal(jax.random.key(1), (10, 3))
     d = jax.random.normal(jax.random.key(2), (10, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    rgb, sigma = nerf_apply(params, cfg, x, d)
+    tt = jnp.full((10, 1), 0.5) if cfg.use_time else None
+    rgb, sigma = nerf_apply(params, cfg, x, d, t=tt)
     assert rgb.shape == (10, 3) and sigma.shape == (10,)
     if cfg.use_appearance:
         emb = jax.random.normal(jax.random.key(3), (10, cfg.appearance_dim))
-        rgb, sigma = nerf_apply(params, cfg, x, d, emb)
+        rgb, sigma = nerf_apply(params, cfg, x, d, emb, t=tt)
         assert rgb.shape == (10, 3)
     print(f"model smoke test passed: rgb={rgb.shape}, sigma={sigma.shape}")
     del params
@@ -325,7 +356,8 @@ def cmd_render(args):
                 save_depth=args.save_depth, raw_output=args.raw_output,
                 make_video=args.create_video, fps=args.fps,
                 dataset_width=ds.width, focal=ds.focal,
-                chunk=args.chunk, mesh=_make_render_mesh(args))
+                chunk=args.chunk, mesh=_make_render_mesh(args),
+                time=args.time, animate_time=args.animate_time)
 
 
 def cmd_spiral(args):

@@ -27,6 +27,9 @@ class RayDataset:
 
     images: (N, H, W, 3) uint8; alphas: (N, H, W) uint8;
     c2ws: (N, 4, 4) float32; focal: float; near/far: float.
+    times: optional (N,) float32 in [0, 1] — per-image capture time for the
+    AnimatedNeRF variant (cfg.use_time; the reference declares the model at
+    src/models.py:165-265 but ships no dataset or flag that feeds it).
     Device placement happens lazily via ``device_arrays``.
     """
 
@@ -37,6 +40,7 @@ class RayDataset:
     near: float
     far: float
     split: str = "train"
+    times: Optional[np.ndarray] = None
 
     @property
     def n_images(self) -> int:
@@ -74,6 +78,8 @@ class RayDataset:
             "images": jnp.asarray(imgs.reshape(-1, 3)),
             "c2ws": jnp.asarray(self.c2ws),
         }
+        if self.times is not None:
+            arrs["times"] = jnp.asarray(self.times, jnp.float32)
         if sharding is not None:
             arrs = {k: jax.device_put(v, sharding) for k, v in arrs.items()}
         return arrs
@@ -95,7 +101,8 @@ def sample_ray_batch(key, pool, cfg: NeRFConfig, height: int, width: int, focal,
 
     Returns:
         dict rays_o, rays_d (B,3); rgb (B,3); img_idx (B,) int32 (the
-        appearance index, reference src/dataset.py:166-168).
+        appearance index, reference src/dataset.py:166-168); plus t (B,1)
+        when the pool carries per-image times (cfg.use_time).
     """
     from danerf_tpu.ops.rays import rays_for_pixels
 
@@ -121,7 +128,10 @@ def sample_ray_batch(key, pool, cfg: NeRFConfig, height: int, width: int, focal,
     # the (N*H*W, 3) take is the fast TPU gather path; reshaping here instead
     # would be folded into a ~25x slower multi-dim gather.
     rgb = jnp.take(pool["images"], img_idx * (height * width) + pix_idx, axis=0)
-    return {"rays_o": rays_o, "rays_d": rays_d, "rgb": rgb, "img_idx": img_idx}
+    batch = {"rays_o": rays_o, "rays_d": rays_d, "rgb": rgb, "img_idx": img_idx}
+    if "times" in pool:
+        batch["t"] = pool["times"][img_idx][:, None]
+    return batch
 
 
 def load_dataset(cfg: NeRFConfig, split: str = "train") -> RayDataset:
@@ -140,4 +150,11 @@ def load_dataset(cfg: NeRFConfig, split: str = "train") -> RayDataset:
                                  near=cfg.near, far=cfg.far)
     if os.path.exists(os.path.join(scene_dir, f"transforms_{split}.json")):
         return load_blender_scene(scene_dir, split=split, near=cfg.near, far=cfg.far)
+    if cfg.use_time:
+        # AnimatedNeRF needs per-image times; the procedural time-varying
+        # scene supplies them (no Blender scene carries a time channel)
+        from danerf_tpu.data.synthetic import make_time_varying_scene
+
+        return make_time_varying_scene(split=split, near=cfg.near,
+                                       far=cfg.far, seed=0)
     return make_synthetic_scene(split=split, near=cfg.near, far=cfg.far, seed=0)

@@ -31,9 +31,26 @@ def _blob_field(seed: int):
     return centers, radii, dens, colors
 
 
-def field_sigma_rgb(pts: np.ndarray, seed: int = 0):
-    """Analytic density + color at points (..., 3)."""
+def _blob_motion(seed: int):
+    """Per-blob oscillation (amplitude vectors + phases) for the
+    time-varying variant: center_i(t) = center_i + amp_i * sin(pi*t + ph_i).
+    A HALF period over t in [0, 1], so the t=0 and t=1 configurations are
+    maximally different (a full 2*pi period would make them identical).
+    Deterministic in ``seed``."""
+    rng = np.random.default_rng(seed + 77_000)
+    k = 6
+    amps = rng.uniform(-0.35, 0.35, size=(k, 3))
+    phases = rng.uniform(0.0, 2 * np.pi, size=(k,))
+    return amps, phases
+
+
+def field_sigma_rgb(pts: np.ndarray, seed: int = 0, t: float | None = None):
+    """Analytic density + color at points (..., 3).  With ``t`` the blob
+    centers oscillate (AnimatedNeRF ground truth, cfg.use_time)."""
     centers, radii, dens, colors = _blob_field(seed)
+    if t is not None:
+        amps, phases = _blob_motion(seed)
+        centers = centers + amps * np.sin(np.pi * t + phases)[:, None]
     d2 = np.sum((pts[..., None, :] - centers) ** 2, axis=-1)        # (..., k)
     w = dens * np.exp(-d2 / (2 * radii ** 2))                        # (..., k)
     sigma = np.sum(w, axis=-1)
@@ -42,7 +59,8 @@ def field_sigma_rgb(pts: np.ndarray, seed: int = 0):
 
 
 def _render_gt(c2w: np.ndarray, H: int, W: int, focal: float,
-               near: float, far: float, n_samples: int, seed: int):
+               near: float, far: float, n_samples: int, seed: int,
+               t: float | None = None):
     """Ground-truth render of the analytic field (reference compositing math)."""
     i, j = np.meshgrid(np.arange(H, dtype=np.float64),
                        np.arange(W, dtype=np.float64), indexing="ij")
@@ -54,7 +72,7 @@ def _render_gt(c2w: np.ndarray, H: int, W: int, focal: float,
 
     z = np.linspace(near, far, n_samples)
     pts = origins[..., None, :] + dirs[..., None, :] * z[:, None]    # (H,W,S,3)
-    sigma, rgb = field_sigma_rgb(pts, seed)
+    sigma, rgb = field_sigma_rgb(pts, seed, t)
 
     dists = np.diff(z)
     dists = np.concatenate([dists, [1e-3]])
@@ -176,3 +194,49 @@ def make_synthetic_scene(split: str = "train", n_images: int | None = None,
     return RayDataset(images=np.stack(images), alphas=np.stack(alphas),
                       c2ws=np.stack(c2ws), focal=float(focal),
                       near=near, far=far, split=split)
+
+
+def make_time_varying_scene(split: str = "train", n_images: int | None = None,
+                            height: int = 64, width: int = 64,
+                            near: float = 2.0, far: float = 6.0,
+                            n_samples: int = 128,
+                            seed: int = 0) -> RayDataset:
+    """Time-varying procedural scene for the AnimatedNeRF variant
+    (cfg.use_time; reference /root/reference/src/models.py:165-265 declares
+    the model but ships no data path for it).
+
+    Each view k carries a capture time t_k = k / (n-1) in [0, 1], and the
+    blob centers oscillate with t (``_blob_motion``), so a model trained
+    WITHOUT the time input cannot fit all views — the time channel is
+    genuinely load-bearing (asserted in tests/test_time.py)."""
+    from danerf_tpu.ops.rays import look_at_c2w
+
+    if n_images is None:
+        n_images = {"train": 16, "val": 4, "test": 8}.get(split, 8)
+
+    split_seed = {"train": 1, "val": 2, "test": 3}.get(split, 4)
+    rng = np.random.default_rng(seed * 100 + split_seed)
+
+    focal = 0.5 * width / np.tan(0.5 * 0.6911)
+    radius = 4.0
+
+    images, alphas, c2ws, times = [], [], [], []
+    for k in range(n_images):
+        theta = 2 * np.pi * k / n_images + rng.uniform(0, 0.3)
+        phi = rng.uniform(-0.35, 0.35)
+        pos = np.array([radius * np.cos(phi) * np.sin(theta),
+                        radius * np.sin(phi),
+                        radius * np.cos(phi) * np.cos(theta)])
+        c2w = look_at_c2w(pos, np.zeros(3), np.array([0.0, 1.0, 0.0]))
+        t_k = k / max(n_images - 1, 1)
+        rgb, acc = _render_gt(c2w.astype(np.float64), height, width, focal,
+                              near, far, n_samples, seed, t=t_k)
+        images.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        alphas.append((np.clip(acc, 0, 1) * 255).astype(np.uint8))
+        c2ws.append(c2w)
+        times.append(t_k)
+
+    return RayDataset(images=np.stack(images), alphas=np.stack(alphas),
+                      c2ws=np.stack(c2ws), focal=float(focal),
+                      near=near, far=far, split=split,
+                      times=np.asarray(times, np.float32))

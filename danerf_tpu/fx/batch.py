@@ -38,8 +38,23 @@ def _load_png(path: str) -> np.ndarray:
 def apply_effect_to_frames(input_dir: str, output_dir: str, effect: str,
                            params: Optional[dict] = None,
                            make_video: bool = True, fps: int = 60,
-                           skip_existing: bool = True) -> list[str]:
-    """Apply one effect to every frame in ``input_dir``; returns output paths."""
+                           skip_existing: bool = True,
+                           timings: Optional[dict] = None) -> list[str]:
+    """Apply one effect to every frame in ``input_dir``; returns output paths.
+
+    The loop is PIPELINED: the device op for frame k is dispatched, then the
+    fetch + PNG encode run on a worker thread while frame k+1 decodes and
+    computes — the chip never waits on PIL or the host tunnel.
+
+    timings: optional dict, filled with the per-stage wall-clock breakdown
+    {'load_s', 'device_s', 'write_s', 'frames'} — load/device are serial
+    main-thread time, write_s is worker-thread time (overlapped with
+    compute), so device_s / frames is the honest per-frame device cost.
+    """
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     if effect not in EFFECTS:
@@ -53,23 +68,57 @@ def apply_effect_to_frames(input_dir: str, output_dir: str, effect: str,
         frames = [f for f in frames
                   if re.fullmatch(r"frame_(\d+)\.png", f).group(1) in depth_nums]
 
-    written = []
-    for f in frames:
-        out_path = os.path.join(output_dir, f)
-        if skip_existing and os.path.exists(out_path):
-            written.append(out_path)
-            continue
-        rgb = _load_png(os.path.join(input_dir, f))[..., :3]
-        num = re.fullmatch(r"frame_(\d+)\.png", f).group(1)
-        depth = None
-        if num in depth_nums:
-            depth = _load_png(os.path.join(input_dir, f"depth_{num}.png")).astype(np.float32)
-            if depth.ndim == 3:
-                depth = depth[..., 0]
-            depth = depth / 255.0
-        out = np.asarray(apply_effect(effect, rgb, depth, params))
-        Image.fromarray(out).save(out_path)
-        written.append(out_path)
+    t_load = t_device = 0.0
+    t_write = [0.0]
+    n_done = 0
+    lock = threading.Lock()
+
+    def _save(out_dev, out_path):
+        t0 = _time.perf_counter()
+        arr = np.asarray(out_dev)  # fetch overlaps the next frame's compute
+        Image.fromarray(arr).save(out_path)
+        with lock:
+            t_write[0] += _time.perf_counter() - t0
+        return out_path
+
+    futures = []
+    results = []  # str (skipped) or future, in frame order
+    with ThreadPoolExecutor(max_workers=2) as io_pool:
+        for f in frames:
+            out_path = os.path.join(output_dir, f)
+            if skip_existing and os.path.exists(out_path):
+                results.append(out_path)
+                continue
+            t0 = _time.perf_counter()
+            rgb = _load_png(os.path.join(input_dir, f))[..., :3]
+            num = re.fullmatch(r"frame_(\d+)\.png", f).group(1)
+            depth = None
+            if num in depth_nums:
+                depth = _load_png(os.path.join(
+                    input_dir, f"depth_{num}.png")).astype(np.float32)
+                if depth.ndim == 3:
+                    depth = depth[..., 0]
+                depth = depth / 255.0
+            t1 = _time.perf_counter()
+            out = apply_effect(effect, rgb, depth, params)
+            # force completion with a 1-element fetch (block_until_ready
+            # returns at enqueue time on the remote runtime) so device_s
+            # measures compute, not transfer
+            float(out[0, 0, 0])
+            t2 = _time.perf_counter()
+            t_load += t1 - t0
+            t_device += t2 - t1
+            n_done += 1
+            fut = io_pool.submit(_save, out, out_path)
+            futures.append(fut)
+            results.append(fut)
+            if len(futures) >= 3:
+                futures[-3].result()  # bound in-flight frames
+        written = [r if isinstance(r, str) else r.result() for r in results]
+
+    if timings is not None:
+        timings.update(load_s=t_load, device_s=t_device,
+                       write_s=t_write[0], frames=n_done)
 
     if make_video and written:
         from danerf_tpu.viz.video import create_video_from_images

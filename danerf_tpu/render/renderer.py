@@ -183,7 +183,8 @@ def render_rays(
 @partial(jax.jit, static_argnames=("cfg", "height", "width", "n_samples",
                                    "n_importance", "perturb", "chunk", "mesh"))
 def _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
-                      n_samples, n_importance, perturb, chunk, mesh=None):
+                      n_samples, n_importance, perturb, chunk, mesh=None,
+                      t=None):
     """Whole-frame render as a scan over fixed-size ray chunks.
 
     Replaces the reference's Python chunk loop with per-chunk host syncs
@@ -213,12 +214,20 @@ def _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
         ray_sharding = NamedSharding(mesh, PartitionSpec("data"))
         constrain = lambda x: jax.lax.with_sharding_constraint(x, ray_sharding)
 
+    # White-background compositing at render time (the reference's RGBA
+    # convention, src/dataset.py:159-161: training targets are composited
+    # over white, so rendered rays must fill acc<1 with white to match).
+    bg = (1.0, 1.0, 1.0) if cfg.white_background else None
+
     def body(_, inp):
         k, ro, rd = inp
         e = None if emb is None else jnp.broadcast_to(emb, (chunk, emb.shape[-1]))
+        tt = None if t is None else jnp.broadcast_to(
+            jnp.reshape(t, (1, 1)), (chunk, 1))
         out = render_rays(params, cfg, k, constrain(ro), constrain(rd), e,
-                          n_samples=n_samples, n_importance=n_importance, perturb=perturb,
-                          fused_composite=cfg.use_pallas)
+                          t=tt, n_samples=n_samples, n_importance=n_importance,
+                          perturb=perturb, fused_composite=cfg.use_pallas,
+                          background_color=bg)
         return None, (out["rgb"], out["depth"], out["acc"])
 
     _, (rgb, depth, acc) = jax.lax.scan(body, None, (keys, rays_o, rays_d))
@@ -242,12 +251,14 @@ def render_frame(
     perturb: bool = False,
     chunk: Optional[int] = None,
     mesh=None,
+    t=None,
 ):
     """Render a full (height, width) frame from camera matrix ``c2w``.
 
     With ``mesh``, the frame's rays are sharded over its 'data' axis (every
-    chunk splits across all devices).  Returns (rgb [H,W,3] in [0,1],
-    depth [H,W], acc [H,W]) as device arrays.
+    chunk splits across all devices).  ``t``: optional scalar frame time in
+    [0, 1] for the AnimatedNeRF variant (cfg.use_time).  Returns
+    (rgb [H,W,3] in [0,1], depth [H,W], acc [H,W]) as device arrays.
     """
     from danerf_tpu.ops.rays import generate_rays
 
@@ -266,5 +277,9 @@ def render_frame(
     emb = None
     if cfg.use_appearance and appearance_embedding is not None:
         emb = jnp.asarray(appearance_embedding)
+    if cfg.use_time and t is None:
+        t = 0.0  # default frame time; CLI --time / --animate_time override
+    tt = None if t is None else jnp.asarray(t, jnp.float32)
     return _render_frame_jit(params, cfg, key, rays_o, rays_d, emb, height, width,
-                             n_samples, n_importance, perturb, chunk, mesh)
+                             n_samples, n_importance, perturb, chunk, mesh,
+                             t=tt)

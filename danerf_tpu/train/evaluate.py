@@ -19,13 +19,13 @@ import numpy as np
 from danerf_tpu.config import NeRFConfig
 from danerf_tpu.data.dataset import RayDataset
 from danerf_tpu.render.renderer import render_frame, render_rays
-from danerf_tpu.train.metrics import ssim
+from danerf_tpu.train.metrics import ssim_device
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "batch", "n_importance"))
 def _optimize_embedding_jit(params, cfg: NeRFConfig, key, rays_o, rays_d,
                             target, steps: int, batch: int,
-                            n_importance: Optional[int], lr: float):
+                            n_importance: Optional[int], lr: float, t=None):
     """Adam on a single appearance embedding against a held-out view's rays.
 
     The NeRF-W test-time protocol: the model is frozen; only the (app_dim,)
@@ -42,11 +42,15 @@ def _optimize_embedding_jit(params, cfg: NeRFConfig, key, rays_o, rays_d,
     def loss_fn(emb, k):
         idx = jax.random.randint(jax.random.fold_in(k, 1), (batch,), 0, n_rays)
         ro, rd, tg = rays_o[idx], rays_d[idx], target[idx]
+        tt = None if t is None else jnp.broadcast_to(
+            jnp.reshape(t, (1, 1)), (batch, 1))
         out = render_rays(params, cfg, jax.random.fold_in(k, 2), ro, rd,
                           appearance_embedding=jnp.broadcast_to(
                               emb, (batch, cfg.appearance_dim)),
-                          n_importance=n_importance, perturb=False,
-                          fused_composite=cfg.use_pallas)
+                          t=tt, n_importance=n_importance, perturb=False,
+                          fused_composite=cfg.use_pallas,
+                          background_color=((1.0, 1.0, 1.0)
+                                            if cfg.white_background else None))
         return jnp.mean((out["rgb"] - tg) ** 2)
 
     def step(i, carry):
@@ -61,7 +65,8 @@ def _optimize_embedding_jit(params, cfg: NeRFConfig, key, rays_o, rays_d,
 
 def optimize_embedding(params, cfg: NeRFConfig, key, c2w, gt_image,
                        focal, n_importance: Optional[int] = None,
-                       steps: int = 50, batch: int = 1024, lr: float = 0.05):
+                       steps: int = 50, batch: int = 1024, lr: float = 0.05,
+                       t=None):
     """Fit an appearance embedding on the left half of a held-out view."""
     from danerf_tpu.ops.rays import generate_rays
 
@@ -71,9 +76,31 @@ def optimize_embedding(params, cfg: NeRFConfig, key, c2w, gt_image,
     rays_o = rays_o[:, :half].reshape(-1, 3)
     rays_d = rays_d[:, :half].reshape(-1, 3)
     target = jnp.asarray(gt_image[:, :half].reshape(-1, 3), jnp.float32)
+    tt = None if t is None else jnp.asarray(t, jnp.float32)
     return _optimize_embedding_jit(params, cfg, key, rays_o, rays_d, target,
                                    steps, min(batch, rays_o.shape[0]),
-                                   n_importance, lr)
+                                   n_importance, lr, t=tt)
+
+
+@partial(jax.jit, static_argnames=("half", "crop"))
+def _score_view(pred, gt_u8, half: int, crop: bool, alpha_u8=None):
+    """Score one view ON DEVICE: (mse, ssim) as jnp scalars.
+
+    The eval loop fetches view i's scalars only after view i+1's render has
+    been dispatched, so the ~2 s/view frame fetch over the 4 MB/s tunnel and
+    the host-side SSIM both leave the critical path (the reference fetches
+    every chunk synchronously, run.py:212-228).
+
+    alpha_u8: when given, the GT is alpha-composited over white in f32
+    (cfg.white_background; reference RGBA convention src/dataset.py:159-161)
+    — matching how the training pool and the renderer composite."""
+    tgt = gt_u8.astype(jnp.float32) / 255.0
+    if alpha_u8 is not None:
+        a = alpha_u8.astype(jnp.float32)[..., None] / 255.0
+        tgt = tgt * a + (1.0 - a)
+    if crop:
+        pred, tgt = pred[:, half:], tgt[:, half:]  # leak-free right half
+    return jnp.mean((pred - tgt) ** 2), ssim_device(pred, tgt)
 
 
 def evaluate(params, cfg: NeRFConfig, dataset: RayDataset,
@@ -97,32 +124,52 @@ def evaluate(params, cfg: NeRFConfig, dataset: RayDataset,
     n = dataset.n_images if max_views is None else min(max_views, dataset.n_images)
     gt = dataset.images.astype(np.float32) / 255.0
     half = dataset.width // 2
+    half_crop = optimize_embeddings and cfg.use_appearance
 
     per_view = []
+
+    def _collect(pending):
+        i, mse_d, ssim_d = pending
+        mse = float(mse_d)
+        per_view.append({
+            "view": i,
+            "mse": mse,
+            "psnr": float(-10.0 * np.log10(max(mse, 1e-12))),
+            "ssim": float(ssim_d),
+        })
+
+    pending = None
     for i in range(n):
+        t_i = None
+        if getattr(dataset, "times", None) is not None:
+            t_i = float(dataset.times[i])  # AnimatedNeRF: per-view time
         emb = None
         if cfg.use_appearance and optimize_embeddings:
+            gt_fit = gt[i]
+            if cfg.white_background and dataset.alphas is not None:
+                a = dataset.alphas[i].astype(np.float32)[..., None] / 255.0
+                gt_fit = gt_fit * a + (1.0 - a)
             emb = optimize_embedding(
                 params, cfg, jax.random.fold_in(key, 10_000 + i),
-                dataset.c2ws[i], gt[i], dataset.focal,
-                n_importance=n_importance, steps=opt_steps, lr=opt_lr)
+                dataset.c2ws[i], gt_fit, dataset.focal,
+                n_importance=n_importance, steps=opt_steps, lr=opt_lr, t=t_i)
         elif cfg.use_appearance and appearance is not None:
             emb = appearance[min(i, appearance.shape[0] - 1)]
         rgb, depth, _ = render_frame(
             params, cfg, jax.random.fold_in(key, i), dataset.c2ws[i],
             dataset.height, dataset.width, dataset.focal,
-            appearance_embedding=emb, n_importance=n_importance, perturb=False)
-        pred = np.asarray(rgb)
-        tgt = gt[i]
-        if optimize_embeddings and cfg.use_appearance:
-            pred, tgt = pred[:, half:], tgt[:, half:]  # leak-free right half
-        mse = float(np.mean((pred - tgt) ** 2))
-        per_view.append({
-            "view": i,
-            "mse": mse,
-            "psnr": float(-10.0 * np.log10(max(mse, 1e-12))),
-            "ssim": ssim(pred, tgt),
-        })
+            appearance_embedding=emb, n_importance=n_importance, perturb=False,
+            t=t_i)
+        alpha_i = None
+        if cfg.white_background and dataset.alphas is not None:
+            alpha_i = jnp.asarray(dataset.alphas[i])
+        scores = _score_view(rgb, jnp.asarray(dataset.images[i]), half,
+                             half_crop, alpha_u8=alpha_i)
+        if pending is not None:
+            _collect(pending)  # fetch i-1 while view i renders
+        pending = (i, *scores)
+    if pending is not None:
+        _collect(pending)
 
     return {
         "per_view": per_view,

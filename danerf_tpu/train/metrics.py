@@ -75,6 +75,52 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0,
     return float(np.mean(vals))
 
 
+def _filt_valid_jnp(x, k):
+    """Separable valid-region correlation of (H, W) with a 1-D kernel, in
+    jax.numpy (static shapes: the window slices unroll and XLA fuses them)."""
+    w = k.size
+    x = jnp.stack([x[:, j:x.shape[1] - w + 1 + j] for j in range(w)], -1) @ k
+    x = jnp.stack([x[i:x.shape[0] - w + 1 + i, :] for i in range(w)], -1) @ k
+    return x
+
+
+def ssim_device(a, b, data_range: float = 1.0, win_size: int = 11,
+                sigma: float = 1.5):
+    """SSIM as a jittable on-device computation — same 11x11 Gaussian
+    valid-window math as :func:`ssim` (cross-checked in tests/test_utils.py),
+    in f32 jax.numpy.  The eval harness scores views with this so only
+    SCALARS cross the host tunnel (~4 MB/s here; an 800x800 f32 frame is
+    ~2 s of transfer per view otherwise).
+
+    a, b: (H, W) or (H, W, C) jnp arrays in [0, data_range].
+    Returns a jnp scalar.
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    if min(a.shape[0], a.shape[1]) < win_size:  # tiny images: global window
+        win_size = min(a.shape[0], a.shape[1])
+        if win_size % 2 == 0:
+            win_size -= 1
+    k = jnp.asarray(_gaussian_win(win_size, sigma), jnp.float32)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c], b[..., c]
+        mu_x = _filt_valid_jnp(x, k)
+        mu_y = _filt_valid_jnp(y, k)
+        var_x = _filt_valid_jnp(x * x, k) - mu_x ** 2
+        var_y = _filt_valid_jnp(y * y, k) - mu_y ** 2
+        cov = _filt_valid_jnp(x * y, k) - mu_x * mu_y
+        s = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)) / (
+            (mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2))
+        vals.append(s.mean())
+    return jnp.mean(jnp.stack(vals))
+
+
 class MetricsLogger:
     """Append-only JSONL scalar logger with wall-clock stamps."""
 

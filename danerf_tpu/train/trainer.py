@@ -73,8 +73,13 @@ def loss_fn(params, cfg: NeRFConfig, key, batch):
     emb = None
     if cfg.use_appearance:
         emb = params["appearance"][batch["img_idx"]]
+    # White-background targets (pool composited over white,
+    # RayDataset.device_arrays) need the render composited over white too —
+    # reference RGBA convention, src/dataset.py:159-161.
+    bg = (1.0, 1.0, 1.0) if cfg.white_background else None
     out = render_rays(params["model"], cfg, key, batch["rays_o"], batch["rays_d"],
-                      appearance_embedding=emb, perturb=True,
+                      appearance_embedding=emb, t=batch.get("t"), perturb=True,
+                      background_color=bg,
                       fused_composite=cfg.use_pallas and cfg.use_fused_train)
     loss = jnp.mean((out["rgb"] - batch["rgb"]) ** 2)
     aux = {"mse": loss}
@@ -238,8 +243,14 @@ def _onepass_hier_fused_loss_grads(params, cfg: NeRFConfig, key, batch):
 
 
 def use_onepass(cfg: NeRFConfig) -> bool:
-    """True when the single-pass fused train kernels serve this config."""
-    return cfg.use_pallas and cfg.use_fused_train and not cfg.use_time
+    """True when the single-pass fused train kernels serve this config.
+
+    White-background configs take the custom-VJP route instead: the one-pass
+    kernels compute the MSE in-kernel against raw composited rgb, with no
+    background fill for acc<1 rays — loss_fn adds the white background on
+    the XLA side (reference RGBA convention, src/dataset.py:159-161)."""
+    return (cfg.use_pallas and cfg.use_fused_train and not cfg.use_time
+            and not cfg.white_background)
 
 
 def compute_loss_and_grads(params, cfg: NeRFConfig, key, batch):
@@ -310,6 +321,13 @@ def train(cfg: NeRFConfig, dataset: RayDataset, save_dir: str = "checkpoints",
                                              save_checkpoint)
 
     os.makedirs(save_dir, exist_ok=True)
+    if cfg.use_time and getattr(dataset, "times", None) is None:
+        raise ValueError(
+            "cfg.use_time=True but the dataset has no per-image times; "
+            "AnimatedNeRF needs a time channel (RayDataset.times). The "
+            "procedural time-varying scene provides one "
+            "(danerf_tpu.data.synthetic.make_time_varying_scene); Blender "
+            "scenes do not.")
     n_iters = num_iterations if num_iterations is not None else cfg.num_iterations
 
     state = create_train_state(jax.random.key(seed), cfg, dataset.n_images)

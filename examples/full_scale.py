@@ -110,12 +110,23 @@ def main():
           flush=True)
 
     fx_seconds = {}
+    fx_breakdown = {}
     for effect in ("Fog", "Toon Shader"):
         fx_dir = os.path.join(args.out, effect.lower().replace(" ", "_"))
+        tm: dict = {}
         t0 = time.time()
-        apply_effect_to_frames(frames_dir, fx_dir, effect, make_video=True)
+        apply_effect_to_frames(frames_dir, fx_dir, effect, make_video=True,
+                               timings=tm)
         fx_seconds[effect] = round(time.time() - t0, 1)
-    print(f"effects: {fx_seconds}", flush=True)
+        n = max(tm.get("frames", 0), 1)
+        fx_breakdown[effect] = {
+            "frames": tm.get("frames", 0),
+            "png_load_ms_per_frame": round(tm.get("load_s", 0) / n * 1e3, 1),
+            "device_ms_per_frame": round(tm.get("device_s", 0) / n * 1e3, 1),
+            "fetch_encode_ms_per_frame_overlapped": round(
+                tm.get("write_s", 0) / n * 1e3, 1),
+        }
+    print(f"effects: {fx_seconds}  breakdown: {fx_breakdown}", flush=True)
 
     report = {
         "study": "reference-native workload end-to-end "
@@ -148,6 +159,7 @@ def main():
                    "video": os.path.join(frames_dir,
                                          f"{cfg.scene}_spiral.mp4")},
         "effects_seconds": fx_seconds,
+        "effects_breakdown": fx_breakdown,
         "oom": False,
         "backend": jax.default_backend(),
     }

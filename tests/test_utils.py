@@ -131,6 +131,20 @@ def test_ssim_standard_window_properties():
     assert ssim(a, scrambled) < s_noisy
 
 
+def test_ssim_device_matches_host():
+    """The jittable on-device SSIM (used by the pipelined eval harness to
+    keep frames off the host tunnel) must agree with the host f64
+    implementation to f32 tolerance."""
+    from danerf_tpu.train.metrics import ssim, ssim_device
+
+    rng = np.random.default_rng(7)
+    for shape in [(64, 64, 3), (40, 56), (9, 9, 3)]:
+        a = rng.uniform(0, 1, shape)
+        b = np.clip(a + rng.normal(0, 0.05, shape), 0, 1)
+        np.testing.assert_allclose(float(ssim_device(a, b)), ssim(a, b),
+                                   atol=2e-5)
+
+
 def test_ssim_matches_independent_scipy_reference():
     """Cross-check against a from-scratch scipy implementation of Wang et
     al. 2004 (2D correlate with an outer-product Gaussian window, population
