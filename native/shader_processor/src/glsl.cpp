@@ -281,6 +281,76 @@ struct Lexer {
           --*depth;
           return is_defined(n2) ? 1 : 0;
         }
+        // function-like macro call in a #if condition (C preprocessor
+        // expands these too): parse the balanced argument list textually,
+        // substitute parameters at identifier boundaries (args wrapped in
+        // parens), and evaluate the expansion recursively.  A bare name
+        // without '(' falls through to the C identifier=0 rule below.
+        if (lx->fn_defines && lx->fn_defines->count(name)) {
+          ws();
+          if (i < s.size() && s[i] == '(') {
+            ++i;
+            std::vector<std::string> args;
+            std::string cur_arg;
+            int par = 0;
+            bool closed = false;
+            while (i < s.size()) {
+              char ch = s[i];
+              if (ch == '(') {
+                ++par;
+                cur_arg += ch;
+              } else if (ch == ')') {
+                if (par == 0) { ++i; closed = true; break; }
+                --par;
+                cur_arg += ch;
+              } else if (ch == ',' && par == 0) {
+                args.push_back(cur_arg);
+                cur_arg.clear();
+              } else {
+                cur_arg += ch;
+              }
+              ++i;
+            }
+            if (!closed) fail("unterminated argument list in '" + name + "'");
+            args.push_back(cur_arg);
+            const FnMacro& m = lx->fn_defines->at(name);
+            if (args.size() == 1 && m.params.empty() &&
+                args[0].find_first_not_of(" \t") == std::string::npos)
+              args.clear();
+            if (args.size() != m.params.size())
+              fail("macro '" + name + "' expects " +
+                   std::to_string(m.params.size()) + " arguments, got " +
+                   std::to_string(args.size()));
+            std::string out;
+            const std::string& b = m.body;
+            for (size_t j = 0; j < b.size();) {
+              if (std::isalpha((unsigned char)b[j]) || b[j] == '_') {
+                size_t k2 = j;
+                while (k2 < b.size() && (std::isalnum((unsigned char)b[k2]) ||
+                                         b[k2] == '_'))
+                  ++k2;
+                std::string tok = b.substr(j, k2 - j);
+                bool subbed = false;
+                for (size_t pi = 0; pi < m.params.size(); ++pi)
+                  if (m.params[pi] == tok) {
+                    out += "(" + args[pi] + ")";
+                    subbed = true;
+                    break;
+                  }
+                if (!subbed) out += tok;
+                j = k2;
+              } else {
+                out += b[j++];
+              }
+            }
+            CondParser sub(out, lx, depth);
+            long r = sub.cond();
+            sub.ws();
+            if (sub.i < out.size()) sub.fail("trailing tokens");
+            --*depth;
+            return r;
+          }
+        }
         // object-macro indirection (depth-bounded across nested bodies),
         // then the C rule: a remaining plain identifier evaluates to 0
         if (lx->defines && lx->defines->count(name)) {

@@ -21,7 +21,8 @@
 // preprocessor conditionals (`#ifdef`/`#ifndef`/`#else`/`#endif`,
 // `#if`/`#elif` with full C integer constant expressions — arithmetic,
 // shifts, bitwise &/^/|/~, comparisons, &&/||/!, `?:`, defined(NAME),
-// macro indirection, undefined identifiers = 0 per ISO C 6.10.1 — and
+// object-like AND function-like macro expansion (`#if MAX(A, 2) > 1`),
+// undefined identifiers = 0 per ISO C 6.10.1 — and
 // `#undef`), user `struct` types
 // (definition, constructor initializer, field read/write incl. swizzled
 // components and compound ops, instance copy/assign, by-value struct

@@ -1576,6 +1576,43 @@ void main() {
     np.testing.assert_allclose(_read(td / "ib.png"), rgb, atol=1)
 
 
+def test_glsl_if_function_like_macros(io_dir, tmp_path):
+    """Function-like macros expand inside #if conditions (C preprocessor
+    rule), with argument substitution at identifier boundaries."""
+    td, rgb, _ = io_dir
+    frag = tmp_path / "iffm.frag"
+    frag.write_text("""
+#define MAX(a, b) ((a) > (b) ? (a) : (b))
+#define SQ(x) ((x) * (x))
+#define LEVEL 3
+uniform sampler2D u_texture;
+in vec2 v_texCoord;
+out vec4 FragColor;
+void main() {
+    vec3 c = texture(u_texture, v_texCoord).rgb;
+    float gain = 1.0;
+#if MAX(LEVEL, 2) == 3 && SQ(LEVEL + 1) == 16
+    gain = gain * 1.0;          // taken: 16 = (3+1)^2, not 3+1*3+1
+#else
+    gain = 0.0;
+#endif
+#if SQ(2) == 4
+    gain = gain * 1.0;          // taken
+#else
+    gain = 0.0;
+#endif
+#if MAX(0, 0)
+    gain = 0.0;                 // skipped
+#endif
+    FragColor = vec4(c * gain, 1.0);
+}
+""")
+    r = _run(["--input", str(td / "in.png"), "--shader", str(frag),
+              "--output", str(td / "im.png")])
+    assert r.returncode == 0, r.stderr
+    np.testing.assert_allclose(_read(td / "im.png"), rgb, atol=1)
+
+
 def test_glsl_struct_call_chains(io_dir, tmp_path):
     """Nested-field chains on struct-valued call results, at any depth and
     with trailing swizzles: makeScene().key.power, Scene(...).key.dir.xy."""
