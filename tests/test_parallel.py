@@ -58,6 +58,31 @@ def test_sharded_step_matches_single_device(scene):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+def test_sharded_step_with_time_matches_single_device():
+    """AnimatedNeRF batches carry a per-ray time t (B,1); the sharded step
+    must split it over 'data' with the rest of the batch and reproduce the
+    single-device trajectory."""
+    from danerf_tpu.data.synthetic import make_time_varying_scene
+
+    cfg = TINY.replace(use_time=True, time_enc_levels=4)
+    sc = make_time_varying_scene("train", n_images=4, height=24, width=24,
+                                 n_samples=48)
+    mesh = make_mesh(data=8, model=1)
+    pool_s = replicate_pool(sc.device_arrays(), mesh)
+    pool_1 = sc.device_arrays()
+    assert "times" in pool_1
+
+    st_a = create_train_state(jax.random.key(0), cfg, sc.n_images)
+    st_b = shard_train_state(
+        create_train_state(jax.random.key(0), cfg, sc.n_images), mesh)
+    step_1 = make_train_step(cfg, sc.height, sc.width, sc.focal)
+    step_8 = make_sharded_train_step(cfg, mesh, sc.height, sc.width, sc.focal)
+    for _ in range(2):
+        st_a, m_a = step_1(st_a, pool_1)
+        st_b, m_b = step_8(st_b, pool_s)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+
+
 def test_batch_actually_sharded(scene):
     """The rendered batch inside the sharded step must be laid out P('data')."""
     mesh = make_mesh(data=8, model=1)
