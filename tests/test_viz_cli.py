@@ -148,6 +148,30 @@ def test_batch_effect_and_fog_depth_restriction(tmp_path):
     assert len(w) == 2  # fog only on depth-bearing frames (apply_all_shaders.py:114-117)
 
 
+def test_batch_effect_timings_and_order(tmp_path):
+    """The pipelined batch driver reports the per-stage breakdown
+    (png-load / device / fetch+encode) and keeps output paths in frame
+    order even when some frames are skipped."""
+    from PIL import Image
+
+    from danerf_tpu.fx.batch import apply_effect_to_frames
+
+    src = str(tmp_path / "in")
+    _write_frames(src, 4, with_depth=())
+    out = str(tmp_path / "out")
+    # pre-populate frame 1 so it takes the skip path mid-sequence
+    os.makedirs(out)
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        os.path.join(out, "frame_0001.png"))
+    tm = {}
+    w = apply_effect_to_frames(src, out, "Sepia", make_video=False,
+                               timings=tm)
+    assert [os.path.basename(p) for p in w] == [
+        f"frame_{i:04d}.png" for i in range(4)]
+    assert tm["frames"] == 3  # one skipped
+    assert tm["load_s"] >= 0 and tm["device_s"] > 0 and tm["write_s"] > 0
+
+
 def test_skip_existing(tmp_path):
     from danerf_tpu.fx.batch import apply_effect_to_frames
 
