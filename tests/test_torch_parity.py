@@ -59,7 +59,7 @@ def test_sample_pdf_vs_torch_searchsorted():
     cdf = torch.cat([torch.zeros_like(cdf[..., :1]), cdf], -1)
     n_imp = 24
     u = torch.linspace(0.0, 1.0, n_imp + 1, dtype=torch.float64)[:-1]
-    u = (u + 0.5 / n_imp).expand(7, n_imp)
+    u = (u + 0.5 / n_imp).expand(7, n_imp).contiguous()
     inds = torch.searchsorted(cdf, u)
     below = torch.clamp_min(inds - 1, 0)
     above = torch.clamp_max(inds, cdf.shape[-1] - 1)
