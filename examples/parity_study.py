@@ -377,7 +377,20 @@ def main():
             "ci95": [float(d.mean() - tq * se), float(d.mean() + tq * se)],
             "ci95_half_width": float(tq * se),
             "t": float(d.mean() / se) if se > 0 else None,
+            # The per-seed delta distribution is heavy-tailed (+-5-6 dB
+            # outliers from trajectories that bifurcate into different local
+            # optima despite the shared init), which makes the t CI
+            # inefficient — report robust companions alongside.
+            "median": float(np.median(d)),
+            "per_seed_delta_std": float(d.std(ddof=1)),
         }
+        try:
+            from scipy import stats
+
+            w = stats.wilcoxon(d)
+            report[key]["wilcoxon_p"] = float(w.pvalue)
+        except Exception:
+            pass
 
     paired_delta("framework_paired", "reference", "delta_paired_coarse")
     paired_delta("framework_paired_hier", "reference_hier", "delta_paired_hier")
