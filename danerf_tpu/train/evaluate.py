@@ -100,7 +100,9 @@ def _score_view(pred, gt_u8, half: int, crop: bool, alpha_u8=None):
         tgt = tgt * a + (1.0 - a)
     if crop:
         pred, tgt = pred[:, half:], tgt[:, half:]  # leak-free right half
-    return jnp.mean((pred - tgt) ** 2), ssim_device(pred, tgt)
+    # one packed fetch instead of two scalar round trips (the remote tunnel
+    # charges per-transfer latency)
+    return jnp.stack([jnp.mean((pred - tgt) ** 2), ssim_device(pred, tgt)])
 
 
 def evaluate(params, cfg: NeRFConfig, dataset: RayDataset,
@@ -129,16 +131,24 @@ def evaluate(params, cfg: NeRFConfig, dataset: RayDataset,
     per_view = []
 
     def _collect(pending):
-        i, mse_d, ssim_d = pending
-        mse = float(mse_d)
+        i, scores_dev = pending
+        mse, ssim_val = np.asarray(scores_dev)  # one packed fetch
+        mse = float(mse)
         per_view.append({
             "view": i,
             "mse": mse,
             "psnr": float(-10.0 * np.log10(max(mse, 1e-12))),
-            "ssim": float(ssim_d),
+            "ssim": float(ssim_val),
         })
 
+    def _gt_dev(i):
+        alpha_i = None
+        if cfg.white_background and dataset.alphas is not None:
+            alpha_i = jnp.asarray(dataset.alphas[i])
+        return jnp.asarray(dataset.images[i]), alpha_i
+
     pending = None
+    nxt_gt = _gt_dev(0) if n else None
     for i in range(n):
         t_i = None
         if getattr(dataset, "times", None) is not None:
@@ -160,14 +170,13 @@ def evaluate(params, cfg: NeRFConfig, dataset: RayDataset,
             dataset.height, dataset.width, dataset.focal,
             appearance_embedding=emb, n_importance=n_importance, perturb=False,
             t=t_i)
-        alpha_i = None
-        if cfg.white_background and dataset.alphas is not None:
-            alpha_i = jnp.asarray(dataset.alphas[i])
-        scores = _score_view(rgb, jnp.asarray(dataset.images[i]), half,
-                             half_crop, alpha_u8=alpha_i)
+        gt_i, alpha_i = nxt_gt
+        scores = _score_view(rgb, gt_i, half, half_crop, alpha_u8=alpha_i)
+        if i + 1 < n:
+            nxt_gt = _gt_dev(i + 1)  # upload overlaps view i's compute
         if pending is not None:
             _collect(pending)  # fetch i-1 while view i renders
-        pending = (i, *scores)
+        pending = (i, scores)
     if pending is not None:
         _collect(pending)
 

@@ -115,8 +115,11 @@ def main():
         fx_dir = os.path.join(args.out, effect.lower().replace(" ", "_"))
         tm: dict = {}
         t0 = time.time()
+        # skip_existing=False: a STUDY must measure even over a reused
+        # --out dir (with the default skip rule a second run silently
+        # times 0 frames)
         apply_effect_to_frames(frames_dir, fx_dir, effect, make_video=True,
-                               timings=tm)
+                               skip_existing=False, timings=tm)
         fx_seconds[effect] = round(time.time() - t0, 1)
         n = max(tm.get("frames", 0), 1)
         fx_breakdown[effect] = {
