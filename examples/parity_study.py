@@ -18,6 +18,13 @@ runs through a JAX mirror rather than raw torch — this host's torch floor is
                         as the reference arm's matching seed: per-seed
                         differencing removes init variance, collapsing the
                         delta CI (one-sample t on per-seed deltas).
+  Arm "framework_paired_hier_f32p" / "_xla32"
+                        attribution-ablation cells (round 5): the paired-hier
+                        arm with bf16 off (still Pallas), and with the
+                        f32-highest XLA path (mirror numerics) — each step of
+                        the chain isolates one factor of the hier delta; the
+                        report's "attribution" block holds the exact
+                        decomposition.
 
 Born-dead-seed handling is SYMMETRIC (VERDICT item 1): every run's init is
 probed with the same fixed probe set (density_alive_probe); dead seeds are
